@@ -1,0 +1,222 @@
+"""MM-ADMM time integrator.
+
+Re-implements ``MeshIntegrator<D>`` (reference
+``src/MeshIntegrator.{h,cpp}``) as a single jitted SPMD program per time
+step. Structure of one step (``MeshIntegrator::step``,
+``MeshIntegrator.cpp:101-191``):
+
+  predictor  x_bar = x - (dt/tau) grad I   (first <=2 steps / gradUse)
+             x_bar = 2 x - x_prev          (after; Mesh::predictX,
+                                            Mesh.cpp:650-674)
+  z = D x_bar   (step 0: z = D x_prev; u_bar = 0 before any prox)
+  x-update   x = t^{-1} (tau x_bar + dt^2 w D^T (w (z - u_bar)))
+             -- t = tau I + dt^2 w^2 D^T D is DIAGONAL (D is a pure gather,
+                so D^T D = diag(node degree)); the reference's Eigen CG
+                solve (MeshIntegrator.cpp:137-139) is a pointwise division
+                here.
+  ADMM loop (<= nIters, early exit):
+     DXpU = D x + u_bar
+     z    = prox(z; DXpU)                  (Mesh::prox — batched Newton)
+     u    = DXpU - z
+     x    = x-update(z, u)
+     stop when ||D x - z|| < tol and ||z - z_prev|| < tol
+                                           (MeshIntegrator.cpp:162-169)
+
+Returns Ihstart — the functional value at the first prox's input z
+(``MeshIntegrator.cpp:146-151``), which is what the recorded ``Ih*.txt``
+baselines trace. The outer time loop with the |dI/dt| < DtTol stop
+(``main.cpp:180-211``) stays in Python (dynamic), everything else is one
+compiled program; dual state u_bar persists across time steps (warm start).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import MovingMesh
+
+
+class ADMMState(NamedTuple):
+    x: jnp.ndarray  # [NP, D]
+    x_prev: jnp.ndarray  # [NP, D]
+    u_bar: jnp.ndarray  # [NF, D+1, D]
+    steps: jnp.ndarray  # i32 scalar — stepsTaken (MeshIntegrator.h:46)
+
+
+class StepInfo(NamedTuple):
+    ih_start: jnp.ndarray
+    primal: jnp.ndarray
+    dual: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+class ADMMIntegrator:
+    def __init__(
+        self,
+        mesh: MovingMesh,
+        dt: float,
+        *,
+        admm_iters: int = 10,
+        tol: float = 1e-3,
+        prox_max_iters: int = 50,
+        grad_use: bool = False,
+    ):
+        self.mesh = mesh
+        self.dt = float(dt)
+        self.admm_iters = int(admm_iters)
+        self.tol = float(tol)
+        self.prox_max_iters = int(prox_max_iters)
+        self.grad_use = bool(grad_use)
+        self._step = jax.jit(self._build_step())
+
+    def init_state(self) -> ADMMState:
+        x0 = self.mesh.X0
+        return ADMMState(
+            x=x0,
+            x_prev=x0,
+            u_bar=jnp.zeros(
+                (self.mesh.n_elements, self.mesh.dim + 1, self.mesh.dim),
+                dtype=self.mesh.dtype,
+            ),
+            steps=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        mesh = self.mesh
+        dt = self.dt
+        tau = mesh.tau
+        w = mesh.w
+        dt2w2 = dt * dt * w * w
+        # diagonal of t = tau I + dt^2 w^2 D^T D (MeshIntegrator.cpp:51)
+        t_diag = tau + dt2w2 * mesh.deg  # [NP]
+        tol = self.tol
+        prox_tol = tol / 100.0  # Mesh.cpp:968
+        n_iters = self.admm_iters
+        prox_iters = self.prox_max_iters
+
+        def x_update(x_bar, z, u_bar):
+            # vec = tau x_bar + dt^2 w D^T (w (z - u_bar))
+            # (MeshIntegrator.cpp:137-139,159-160)
+            rhs = tau * x_bar + dt2w2 * mesh.scatter_add(z - u_bar)
+            return rhs / t_diag[:, None]
+
+        def predictor(x, x_prev, steps):
+            # Mesh::predictX (Mesh.cpp:650-674)
+            def euler(_):
+                _, g = mesh.gradient(x, interior_only=False)
+                return x - (dt / tau) * g
+
+            def extrap(_):
+                return 2.0 * x - x_prev
+
+            if self.grad_use:
+                return euler(None)
+            return jax.lax.cond(steps <= 2, euler, extrap, None)
+
+        def step(state: ADMMState):
+            x, x_prev, u_bar, steps = state
+            x_bar = predictor(x, x_prev, steps)
+
+            x_prev = x
+            x = x_bar
+            # z = D x (step 0: D x_prev); MeshIntegrator.cpp:121-127
+            z = jax.lax.cond(
+                steps == 0,
+                lambda _: mesh.gather(x_prev),
+                lambda _: mesh.gather(x),
+                None,
+            )
+            # uBar zeroed before the first prox ever (stepTaken flag)
+            u_bar = jnp.where(steps == 0, jnp.zeros_like(u_bar), u_bar)
+
+            x = x_update(x_bar, z, u_bar)
+
+            def cond(carry):
+                i, done, *_ = carry
+                return jnp.logical_and(i < n_iters, ~done)
+
+            def body(carry):
+                i, _, x, z, u_bar, ih_start, primal, dual = carry
+                dxpu = mesh.gather(x) + u_bar
+                z_prev = z
+                z, ih0_e = mesh.prox(
+                    z, mesh.xi, dxpu, mesh.elem_free, prox_tol, prox_iters
+                )
+                ih_cur = jnp.sum(ih0_e.astype(jnp.float64))
+                ih_start = jnp.where(i == 0, ih_cur, ih_start)
+                u_bar = dxpu - z
+                x = x_update(x_bar, z, u_bar)
+                primal = jnp.linalg.norm(
+                    (mesh.gather(x) - z).astype(jnp.float64).ravel()
+                )
+                dual = jnp.linalg.norm(
+                    (z - z_prev).astype(jnp.float64).ravel()
+                )
+                done = jnp.logical_and(primal < tol, dual < tol)
+                return i + 1, done, x, z, u_bar, ih_start, primal, dual
+
+            init = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+                x,
+                z,
+                u_bar,
+                jnp.zeros((), jnp.float64),
+                jnp.zeros((), jnp.float64),
+                jnp.zeros((), jnp.float64),
+            )
+            i, _, x, z, u_bar, ih_start, primal, dual = jax.lax.while_loop(
+                cond, body, init
+            )
+
+            new_state = ADMMState(x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1)
+            return new_state, StepInfo(
+                ih_start=ih_start, primal=primal, dual=dual, n_iters=i
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
+    def step(self, state: ADMMState):
+        """One outer time step. Returns (state', StepInfo)."""
+        return self._step(state)
+
+    def energy(self, state: ADMMState) -> float:
+        """solver.getEnergy() (MeshIntegrator.cpp:79-81)."""
+        return float(self.mesh.energy(state.x))
+
+    def run(
+        self,
+        n_steps: int,
+        dt_tol: float,
+        state: ADMMState | None = None,
+        verbose: bool = False,
+        callback=None,
+    ):
+        """The outer time loop (main.cpp:176-211): step until
+        |Ih - Ih_prev| / dt < dt_tol."""
+        if state is None:
+            state = self.init_state()
+        ih_trace = [self.energy(state)]
+        ih_prev = float("inf")
+        for i in range(n_steps):
+            state, info = self.step(state)
+            ih = float(info.ih_start)
+            ih_trace.append(ih)
+            if callback is not None:
+                callback(i, state, info)
+            if verbose:
+                print(
+                    f"step {i}: Ih={ih:.8g} admm_iters={int(info.n_iters)} "
+                    f"primal={float(info.primal):.3g} dual={float(info.dual):.3g}"
+                )
+            if i != 0 and abs((ih - ih_prev) / self.dt) < dt_tol:
+                break
+            ih_prev = ih
+        return state, ih_trace

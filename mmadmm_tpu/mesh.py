@@ -1,0 +1,165 @@
+"""MovingMesh: device-resident mesh state + precomputed operators.
+
+The TPU-native analogue of the reference's ``Mesh<D>`` (``src/Mesh.h:16-126``)
+with objects replaced by dense arrays:
+
+* ``X [NP, D]`` node positions, ``F [NF, D+1]`` int32 connectivity,
+  ``mask [NP]`` NodeType,
+* the sparse operators the reference builds (``M = tau I``,
+  ``Dmat``, ``W = w I``; ``Mesh.cpp:677-753``) reduce to: a scalar ``tau``,
+  a gather/segment-sum pair, a scalar ``w``, and the node-degree vector
+  (diag of ``D^T D``),
+* the monitor interpolation grid, built once at construction
+  (``Mesh.cpp:431-433``),
+* the batched prox solver (``ops.prox``) replacing per-element BFGS.
+
+Reference quirk preserved: the JSON ``w`` is overridden by
+``w = 0.5 sqrt(rho)`` (``Mesh.cpp:451``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry.node_type import NodeType
+from .geometry import topology
+from .ops import huang
+from .ops.monitor_grid import build_monitor_grid
+from .ops.prox import make_prox_solver
+from .ops.scatter import gather_elements, scatter_add_nodes
+
+
+class MovingMesh:
+    def __init__(
+        self,
+        X: np.ndarray,
+        F: np.ndarray,
+        mask: np.ndarray,
+        monitor,
+        *,
+        rho: float,
+        tau: float,
+        comp_mesh: bool = False,
+        Xc: np.ndarray | None = None,
+        dtype=jnp.float64,
+        num_smooth: int | None = None,
+    ):
+        X = np.asarray(X, dtype=np.float64)
+        F = np.asarray(F, dtype=np.int32)
+        mask = np.asarray(mask, dtype=np.int8)
+        self.dim = X.shape[1]
+        self.dtype = dtype
+        self.n_pnts = X.shape[0]
+
+        # positive orientation (Mesh.cpp:408 -> 244-260)
+        F = topology.reorient_elements(X, F)
+        self.n_elements = F.shape[0]
+
+        self.tau = float(tau)
+        self.rho = float(rho)
+        self.w = 0.5 * math.sqrt(rho)  # Mesh.cpp:451 (overrides JSON w)
+        self.comp_mesh = bool(comp_mesh)
+
+        # topology / scatter plan
+        deg = topology.node_degrees(F, self.n_pnts)
+        perm, seg_ids = topology.sorted_scatter_plan(F, self.n_pnts)
+        self.boundary_faces = topology.build_boundary_faces(F, mask)
+
+        # monitor grid (built once; never refreshed — Mesh.cpp:1007-1014)
+        self.monitor = monitor
+        self.grid = build_monitor_grid(X, monitor, num_smooth=num_smooth, dtype=dtype)
+
+        # device arrays
+        self.X0 = jnp.asarray(X, dtype=dtype)
+        self.F = jnp.asarray(F)
+        self.mask_np = mask
+        self.deg = jnp.asarray(deg, dtype=dtype)
+        self.perm = jnp.asarray(perm)
+        self.seg_ids = jnp.asarray(seg_ids)
+
+        fixed_v = mask[F] == NodeType.BOUNDARY_FIXED  # [NF, D+1]
+        self.elem_free = jnp.asarray(
+            np.repeat(~fixed_v[:, :, None], self.dim, axis=2).astype(np.float64),
+            dtype=dtype,
+        )  # [NF, D+1, D] 1.0 where movable
+        self.interior_nodes = jnp.asarray(
+            (mask == NodeType.INTERIOR).astype(np.float64)[:, None], dtype=dtype
+        )  # [NP, 1]
+
+        self.ehat = huang.reference_ehat(self.dim, self.n_elements).astype(dtype)
+        if self.comp_mesh:
+            assert Xc is not None, "comp_mesh requires Xc"
+            xc = jnp.asarray(np.asarray(Xc, dtype=np.float64), dtype=dtype)
+            self.xi = gather_elements(xc, self.F)
+        else:
+            # dummy (branch is static; never read)
+            self.xi = jnp.zeros((self.n_elements, self.dim + 1, self.dim), dtype=dtype)
+
+        self.prox = make_prox_solver(
+            self.grid, self.ehat, self.comp_mesh, self.w, self.dim
+        )
+
+        # batched element functions (jitted: these are also inlined into the
+        # integrators' compiled step programs)
+        self._energy_e = jax.jit(
+            jax.vmap(
+                lambda z, xi: huang.element_energy(
+                    z, xi, self.grid, self.ehat, self.comp_mesh
+                )
+            )
+        )
+        self._energy_grad_e = jax.jit(
+            jax.vmap(
+                lambda z, xi: huang.element_energy_grad(
+                    z, xi, self.grid, self.ehat, self.comp_mesh
+                )
+            )
+        )
+        self.energy = jax.jit(self._energy_impl)
+        self.gradient = jax.jit(self._gradient_impl, static_argnums=1)
+
+    # ------------------------------------------------------------------
+    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        """D x (Mesh::buildDMatrix semantics)."""
+        return gather_elements(x, self.F)
+
+    def scatter_add(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """D^T y."""
+        return scatter_add_nodes(vals, self.perm, self.seg_ids, self.n_pnts)
+
+    def _energy_impl(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Mesh::computeEnergy (Mesh.cpp:497-530): sum of element energies,
+        accumulated in float64."""
+        e = self._energy_e(self.gather(x), self.xi)
+        return jnp.sum(e.astype(jnp.float64))
+
+    def _gradient_impl(self, x: jnp.ndarray, interior_only: bool):
+        """(Ih, grad[NP, D]) — the assembled functional gradient.
+
+        interior_only=False: the predictor path (``Mesh::eulerGrad``,
+        Mesh.cpp:583-624) — per-element zeroing of BOUNDARY_FIXED vertex
+        components (computeBlockGrad, Mesh.cpp:756-772), scatter to all
+        nodes.
+
+        interior_only=True: the Euler/backward-Euler path
+        (``Mesh::eulerStepMod``, Mesh.cpp:533-579) — no per-element zeroing,
+        scatter only to INTERIOR nodes.
+        """
+        z = self.gather(x)
+        ih_e, g_e = self._energy_grad_e(z, self.xi)
+        if interior_only:
+            g = self.scatter_add(g_e)
+            g = g * self.interior_nodes
+        else:
+            g = self.scatter_add(g_e * self.elem_free)
+        return jnp.sum(ih_e.astype(jnp.float64)), g
+
+    def energy_of_z(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Sum of unregularized element energies at element-stacked z."""
+        e = self._energy_e(z, self.xi)
+        return jnp.sum(e.astype(jnp.float64))

@@ -1,0 +1,39 @@
+"""Element <-> node scatter/gather: the ``Dmat`` operator.
+
+The reference materializes ``Dmat`` in R^{D(D+1) NF x D NP} as an Eigen
+sparse matrix (``Mesh::buildDMatrix``, ``src/Mesh.cpp:704-753``). Every row
+has exactly one 1.0 (it scatters node coordinates into per-element stacked
+vectors), so:
+
+* ``D x``   == a gather ``x[F]``,
+* ``D^T y`` == a scatter-add of element-slot values to nodes,
+* ``D^T D`` == ``diag(node degree)`` — which is why the ADMM x-update matrix
+  ``t = M + dt^2 (WD)^T (WD)`` (``MeshIntegrator.cpp:51``) is diagonal and
+  the reference's CG solve (``MeshIntegrator.cpp:137-139``) reduces to a
+  pointwise division here.
+
+On TPU the scatter-add uses a precomputed node-sorted permutation +
+``segment_sum`` (deterministic, avoids generic scatter) — see
+``geometry.topology.sorted_scatter_plan``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_elements(x: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
+    """D x: [NP, D] -> [NF, D+1, D]."""
+    return x[F]
+
+
+def scatter_add_nodes(
+    vals: jnp.ndarray, perm: jnp.ndarray, seg_ids: jnp.ndarray, n_pnts: int
+) -> jnp.ndarray:
+    """D^T y: [NF, D+1, D] -> [NP, D] via sorted segment-sum."""
+    nf, dp1, d = vals.shape
+    flat = vals.reshape(nf * dp1, d)
+    return jax.ops.segment_sum(
+        flat[perm], seg_ids, num_segments=n_pnts, indices_are_sorted=True
+    )

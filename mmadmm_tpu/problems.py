@@ -1,0 +1,91 @@
+"""Experiment setup: config -> (mesh, integrator).
+
+The TPU-native analogue of the reference's driver layer
+(``setUpBoxExperiment`` / ``setUpLevelSetExperiment`` /
+``setUpShoulderExperiment`` / ``setUpFileExperiment`` + ``runAlgo``,
+``main.cpp:142-782``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig
+from .geometry import io as mesh_io
+from .geometry.level_set import circle_phi, mesh_from_level_set, sphere_phi
+from .geometry.node_type import NodeType
+from .geometry.rect_mesh import generate_uniform_rect_mesh
+from .geometry.shoulder import make_shoulder_mesh
+from .integrators.admm import ADMMIntegrator
+from .integrators.backward_euler import BackwardEulerIntegrator
+from .integrators.euler import EulerIntegrator
+from .mesh import MovingMesh
+from .monitors import get_monitor
+
+_DTYPES = {"float32": jnp.float32, "float64": jnp.float64}
+
+
+def build_geometry(cfg: ExperimentConfig, base_dir: str = "."):
+    """Return (X, F, mask, Xc) for the config's TestType
+    (dispatch mirrors main.cpp:874-904)."""
+    btype = NodeType(cfg.boundary_node_type)
+    if cfg.test_type == "SquareGrid":
+        X, F, mask = generate_uniform_rect_mesh(
+            cfg.dim, cfg.nx, cfg.ny, cfg.nz,
+            cfg.xa, cfg.xb, cfg.ya, cfg.yb, cfg.za, cfg.zb, btype,
+        )
+        Xc = X.copy()
+    elif cfg.test_type == "Shoulder":
+        X, F, mask = make_shoulder_mesh(
+            cfg.dim, cfg.nx, cfg.ny, cfg.nz,
+            cfg.xa, cfg.xb, cfg.ya, cfg.yb, cfg.za, cfg.zb, btype,
+        )
+        Xc = X.copy()
+    elif cfg.test_type == "LevelSet":
+        # 2D uses the circle, 3D the sphere (main.cpp:333-397)
+        phi = circle_phi if cfg.dim == 2 else sphere_phi
+        normal = "circle" if cfg.dim == 2 else "grad"
+        X, F, mask = mesh_from_level_set(
+            phi, cfg.dim, cfg.nx, cfg.ny, cfg.nz,
+            cfg.xa, cfg.xb, cfg.ya, cfg.yb, cfg.za, cfg.zb, btype,
+            normal=normal,
+        )
+        Xc = X.copy()
+    elif cfg.test_type == "FromFile":
+        X, F, mask = mesh_io.read_mesh(
+            os.path.join(base_dir, cfg.triangles_file),
+            os.path.join(base_dir, cfg.pnts_file),
+            os.path.join(base_dir, cfg.mask_file),
+        )
+        Xc = X.copy()
+    else:
+        raise ValueError(f"unknown TestType {cfg.test_type!r}")
+    return X, F, mask, Xc
+
+
+def build_problem(cfg: ExperimentConfig, base_dir: str = "."):
+    """Return (mesh, integrator) ready to run."""
+    X, F, mask, Xc = build_geometry(cfg, base_dir)
+    monitor = get_monitor(cfg.dim, cfg.mon_type)
+    mesh = MovingMesh(
+        X, F, mask, monitor,
+        rho=cfg.rho, tau=cfg.tau,
+        comp_mesh=cfg.comp_mesh, Xc=Xc if cfg.comp_mesh else None,
+        dtype=_DTYPES[cfg.dtype],
+    )
+    if cfg.method == 0:
+        integ = ADMMIntegrator(
+            mesh, cfg.dt,
+            admm_iters=cfg.admm_iter, tol=cfg.step_tol,
+            prox_max_iters=cfg.prox_newton_iters, grad_use=cfg.grad_use,
+        )
+    elif cfg.method == 1:
+        integ = EulerIntegrator(mesh, cfg.dt)
+    elif cfg.method == 2:
+        integ = BackwardEulerIntegrator(mesh, cfg.dt, tol=cfg.step_tol)
+    else:
+        raise ValueError(f"unknown method {cfg.method}")
+    return mesh, integ
