@@ -65,6 +65,7 @@ class ADMMIntegrator:
         tol: float = 1e-3,
         prox_max_iters: int = 50,
         grad_use: bool = False,
+        device_mesh=None,
     ):
         self.mesh = mesh
         self.dt = float(dt)
@@ -72,17 +73,35 @@ class ADMMIntegrator:
         self.tol = float(tol)
         self.prox_max_iters = int(prox_max_iters)
         self.grad_use = bool(grad_use)
-        self._step = jax.jit(self._build_step())
+        self.device_mesh = device_mesh
+        if device_mesh is None:
+            self.shards = None
+            self.step_fn = self._build_step()  # unjitted (for compile checks)
+            self._step = jax.jit(self.step_fn)
+        else:
+            self.shards = mesh.build_shards(device_mesh.devices.size)
+            self._step = self._build_sharded_step()
 
     def init_state(self) -> ADMMState:
         x0 = self.mesh.X0
+        n_elem = (
+            self.mesh.n_elements if self.shards is None
+            else self.shards.F.shape[0]
+        )
+        u_bar = jnp.zeros(
+            (n_elem, self.mesh.dim + 1, self.mesh.dim), dtype=self.mesh.dtype
+        )
+        if self.shards is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            u_bar = jax.device_put(
+                u_bar, NamedSharding(self.device_mesh, P("elems"))
+            )
+            x0 = jax.device_put(x0, NamedSharding(self.device_mesh, P()))
         return ADMMState(
             x=x0,
             x_prev=x0,
-            u_bar=jnp.zeros(
-                (self.mesh.n_elements, self.mesh.dim + 1, self.mesh.dim),
-                dtype=self.mesh.dtype,
-            ),
+            u_bar=u_bar,
             steps=jnp.zeros((), dtype=jnp.int32),
         )
 
@@ -178,6 +197,176 @@ class ADMMIntegrator:
             new_state = ADMMState(x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1)
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _build_sharded_step(self):
+        """SPMD step over the ``"elems"`` mesh axis via shard_map.
+
+        Element-local work (gather, prox, dual update, residual partial
+        sums) runs on each shard's slice; node-field assembly is a local
+        ``segment_sum`` into a full-size [NP, D] buffer followed by one
+        ``psum`` (the domain analogue of a DP gradient all-reduce). x and
+        the scalars are replicated. Semantics are identical to the
+        single-device step up to float reduction order.
+        """
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        shards = self.shards
+        dmesh = self.device_mesh
+        n_shards = shards.n_shards
+        nfp = shards.F.shape[0]
+        L = nfp // n_shards
+        dim = mesh.dim
+        dp1 = dim + 1
+
+        dt = self.dt
+        tau = mesh.tau
+        w = mesh.w
+        dt2w2 = dt * dt * w * w
+        t_diag = tau + dt2w2 * mesh.deg  # [NP] replicated constant
+        tol = self.tol
+        prox_tol = tol / 100.0
+        n_iters = self.admm_iters
+        prox_iters = self.prox_max_iters
+        n_pnts = mesh.n_pnts
+
+        def local_step(state, F_l, xi_l, free_l, valid_l, perm_l, seg_l):
+            x, x_prev, u_bar_l, steps = state
+            perm_l = perm_l.reshape(-1)
+            seg_l = seg_l.reshape(-1)
+            valid_e = valid_l[:, None, None]
+
+            def scatter(vals_l):
+                flat = (vals_l * valid_e).reshape(L * dp1, dim)
+                part = jax.ops.segment_sum(
+                    flat[perm_l], seg_l, num_segments=n_pnts,
+                    indices_are_sorted=True,
+                )
+                return jax.lax.psum(part, "elems")
+
+            def gather(xv):
+                return xv[F_l]
+
+            def x_update(x_bar, z_l, u_l):
+                rhs = tau * x_bar + dt2w2 * scatter(z_l - u_l)
+                return rhs / t_diag[:, None]
+
+            def grad_at(xv):
+                z_l = gather(xv)
+                ih_e, g_e = jax.vmap(
+                    lambda z, xi: _eg(z, xi)
+                )(z_l, xi_l)
+                g = scatter(g_e * free_l)
+                ih = jax.lax.psum(
+                    jnp.sum(ih_e.astype(jnp.float64) * valid_l), "elems"
+                )
+                return ih, g
+
+            def _eg(z, xi):
+                from ..ops import huang
+
+                return huang.element_energy_grad(
+                    z, xi, mesh.grid, mesh.ehat, mesh.comp_mesh
+                )
+
+            def predictor(x, x_prev, steps):
+                def euler(_):
+                    _, g = grad_at(x)
+                    return x - (dt / tau) * g
+
+                def extrap(_):
+                    return 2.0 * x - x_prev
+
+                if self.grad_use:
+                    return euler(None)
+                return jax.lax.cond(steps <= 2, euler, extrap, None)
+
+            x_bar = predictor(x, x_prev, steps)
+            x_prev = x
+            x = x_bar
+            z_l = jax.lax.cond(
+                steps == 0,
+                lambda _: gather(x_prev),
+                lambda _: gather(x),
+                None,
+            )
+            u_bar_l = jnp.where(steps == 0, jnp.zeros_like(u_bar_l), u_bar_l)
+            x = x_update(x_bar, z_l, u_bar_l)
+
+            def norm_sq(v_l):
+                s = jnp.sum((v_l.astype(jnp.float64) * valid_e) ** 2)
+                return jax.lax.psum(s, "elems")
+
+            def cond(carry):
+                i, done, *_ = carry
+                return jnp.logical_and(i < n_iters, ~done)
+
+            def body(carry):
+                i, _, x, z_l, u_l, ih_start, primal, dual = carry
+                dxpu_l = gather(x) + u_l
+                z_prev_l = z_l
+                z_l, ih0_e = mesh.prox(
+                    z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
+                )
+                ih_cur = jax.lax.psum(
+                    jnp.sum(ih0_e.astype(jnp.float64) * valid_l), "elems"
+                )
+                ih_start = jnp.where(i == 0, ih_cur, ih_start)
+                u_l = dxpu_l - z_l
+                x = x_update(x_bar, z_l, u_l)
+                primal = jnp.sqrt(norm_sq(gather(x) - z_l))
+                dual = jnp.sqrt(norm_sq(z_l - z_prev_l))
+                done = jnp.logical_and(primal < tol, dual < tol)
+                return i + 1, done, x, z_l, u_l, ih_start, primal, dual
+
+            init = (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+                x,
+                z_l,
+                u_bar_l,
+                jnp.zeros((), jnp.float64),
+                jnp.zeros((), jnp.float64),
+                jnp.zeros((), jnp.float64),
+            )
+            i, _, x, z_l, u_bar_l, ih_start, primal, dual = jax.lax.while_loop(
+                cond, body, init
+            )
+
+            new_state = ADMMState(
+                x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1
+            )
+            return new_state, StepInfo(
+                ih_start=ih_start, primal=primal, dual=dual, n_iters=i
+            )
+
+        state_specs = ADMMState(
+            x=P(), x_prev=P(), u_bar=P("elems"), steps=P()
+        )
+        info_specs = StepInfo(
+            ih_start=P(), primal=P(), dual=P(), n_iters=P()
+        )
+        sharded = shard_map(
+            local_step,
+            mesh=dmesh,
+            in_specs=(
+                state_specs, P("elems"), P("elems"), P("elems"),
+                P("elems"), P("elems", None), P("elems", None),
+            ),
+            out_specs=(state_specs, info_specs),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded)
+
+        def step(state):
+            return jitted(
+                state, shards.F, shards.xi, shards.elem_free,
+                shards.valid, shards.perm, shards.seg,
             )
 
         return step

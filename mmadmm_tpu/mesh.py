@@ -83,9 +83,13 @@ class MovingMesh:
         self.seg_ids = jnp.asarray(seg_ids)
 
         fixed_v = mask[F] == NodeType.BOUNDARY_FIXED  # [NF, D+1]
+        self._X_np = X
+        self._F_np = F
+        self._elem_free_np = np.repeat(
+            ~fixed_v[:, :, None], self.dim, axis=2
+        ).astype(np.float64)
         self.elem_free = jnp.asarray(
-            np.repeat(~fixed_v[:, :, None], self.dim, axis=2).astype(np.float64),
-            dtype=dtype,
+            self._elem_free_np, dtype=dtype
         )  # [NF, D+1, D] 1.0 where movable
         self.interior_nodes = jnp.asarray(
             (mask == NodeType.INTERIOR).astype(np.float64)[:, None], dtype=dtype
@@ -94,11 +98,13 @@ class MovingMesh:
         self.ehat = huang.reference_ehat(self.dim, self.n_elements).astype(dtype)
         if self.comp_mesh:
             assert Xc is not None, "comp_mesh requires Xc"
-            xc = jnp.asarray(np.asarray(Xc, dtype=np.float64), dtype=dtype)
-            self.xi = gather_elements(xc, self.F)
+            self._xi_np = np.asarray(Xc, dtype=np.float64)[F]
         else:
             # dummy (branch is static; never read)
-            self.xi = jnp.zeros((self.n_elements, self.dim + 1, self.dim), dtype=dtype)
+            self._xi_np = np.zeros(
+                (self.n_elements, self.dim + 1, self.dim), dtype=np.float64
+            )
+        self.xi = jnp.asarray(self._xi_np, dtype=dtype)
 
         self.prox = make_prox_solver(
             self.grid, self.ehat, self.comp_mesh, self.w, self.dim
@@ -163,3 +169,13 @@ class MovingMesh:
         """Sum of unregularized element energies at element-stacked z."""
         e = self._energy_e(z, self.xi)
         return jnp.sum(e.astype(jnp.float64))
+
+    def build_shards(self, n_shards: int):
+        """Partition-ordered, padded element shards for SPMD execution
+        (see ``parallel.spmd.build_elem_shards``)."""
+        from .parallel.spmd import build_elem_shards
+
+        return build_elem_shards(
+            self._X_np, self._F_np, self._xi_np, self._elem_free_np,
+            self.n_pnts, n_shards, self.dtype,
+        )

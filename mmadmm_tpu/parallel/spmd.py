@@ -1,0 +1,97 @@
+"""Element-shard construction + device-mesh helpers.
+
+Shards are built host-side at setup (NumPy): elements are reordered by
+recursive coordinate bisection (``geometry.topology.partition_elements``) so
+contiguous shards are spatially compact, padded to a multiple of the shard
+count with copies of element 0 carrying ``valid = 0`` weights, and each
+shard gets its own sorted scatter plan (node-sorted ``segment_sum`` layout).
+
+This replaces what a distributed rebuild of the reference would have needed
+from METIS + MPI; the reference itself has no partitioner (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+
+
+class ElemShards(NamedTuple):
+    """Global padded element arrays, partition-ordered. Leading axis NFp is
+    sharded over the ``"elems"`` mesh axis; ``perm``/``seg`` carry one
+    per-shard plan per row (leading axis = shard index)."""
+
+    F: jax.Array  # [NFp, D+1] int32
+    xi: jax.Array  # [NFp, D+1, D]
+    elem_free: jax.Array  # [NFp, D+1, D] 1.0 where movable
+    valid: jax.Array  # [NFp] 1.0 for real elements, 0.0 for padding
+    perm: jax.Array  # [S, L*(D+1)] int32, L = NFp // S
+    seg: jax.Array  # [S, L*(D+1)] int32
+
+    @property
+    def n_shards(self) -> int:
+        return self.perm.shape[0]
+
+
+def make_device_mesh(n_devices: int | None = None, devices=None):
+    """1-D device mesh over the ``"elems"`` axis."""
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("elems",))
+
+
+def build_elem_shards(
+    X: np.ndarray,
+    F: np.ndarray,
+    xi: np.ndarray,
+    elem_free: np.ndarray,
+    n_pnts: int,
+    n_shards: int,
+    dtype,
+) -> ElemShards:
+    """Partition-order, pad, and plan the element batch for ``n_shards``."""
+    import jax.numpy as jnp
+
+    from ..geometry.topology import partition_elements
+
+    nf = F.shape[0]
+    order = (
+        partition_elements(X, F, n_shards) if n_shards > 1 else np.arange(nf)
+    )
+    F_o = F[order]
+    xi_o = xi[order]
+    free_o = elem_free[order]
+
+    L = -(-nf // n_shards)  # ceil
+    nfp = L * n_shards
+    pad = nfp - nf
+    valid = np.ones(nfp, dtype=np.float64)
+    if pad:
+        F_o = np.concatenate([F_o, np.repeat(F_o[:1], pad, axis=0)])
+        xi_o = np.concatenate([xi_o, np.repeat(xi_o[:1], pad, axis=0)])
+        free_o = np.concatenate([free_o, np.repeat(free_o[:1], pad, axis=0)])
+        valid[nf:] = 0.0
+
+    dp1 = F.shape[1]
+    perms = np.empty((n_shards, L * dp1), dtype=np.int32)
+    segs = np.empty((n_shards, L * dp1), dtype=np.int32)
+    for s in range(n_shards):
+        flat = F_o[s * L : (s + 1) * L].ravel()
+        p = np.argsort(flat, kind="stable").astype(np.int32)
+        perms[s] = p
+        segs[s] = flat[p]
+
+    return ElemShards(
+        F=jnp.asarray(F_o.astype(np.int32)),
+        xi=jnp.asarray(xi_o, dtype=dtype),
+        elem_free=jnp.asarray(free_o, dtype=dtype),
+        valid=jnp.asarray(valid, dtype=dtype),
+        perm=jnp.asarray(perms),
+        seg=jnp.asarray(segs),
+    )

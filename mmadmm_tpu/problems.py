@@ -77,10 +77,16 @@ def build_problem(cfg: ExperimentConfig, base_dir: str = "."):
         dtype=_DTYPES[cfg.dtype],
     )
     if cfg.method == 0:
+        device_mesh = None
+        if cfg.n_devices > 1:
+            from .parallel import make_device_mesh
+
+            device_mesh = make_device_mesh(cfg.n_devices)
         integ = ADMMIntegrator(
             mesh, cfg.dt,
             admm_iters=cfg.admm_iter, tol=cfg.step_tol,
             prox_max_iters=cfg.prox_newton_iters, grad_use=cfg.grad_use,
+            device_mesh=device_mesh,
         )
     elif cfg.method == 1:
         integ = EulerIntegrator(mesh, cfg.dt)
