@@ -28,6 +28,12 @@ import jax as _jax
 # per-config (float32 fast path on TPU).
 _jax.config.update("jax_enable_x64", True)
 
+# Safety net: TPU f32 dot_general defaults to bf16 MXU passes; this code has
+# no large matmuls, so full precision costs nothing and protects any
+# remaining contraction (the hot-path small products are hand-unrolled VPU
+# ops anyway — see ops/huang.py).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 from .config import ExperimentConfig, load_experiment_config  # noqa: E402

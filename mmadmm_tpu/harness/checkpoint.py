@@ -1,0 +1,87 @@
+"""Checkpoint / resume.
+
+The reference has no formal mechanism — its de facto path is writing the
+final mesh as ``points.txt``/``triangles.txt`` and re-ingesting via the
+``FromFile`` test type (``main.cpp:814-831``, SURVEY §5.4). Here both
+exist:
+
+* ``save_checkpoint`` / ``load_checkpoint``: full integrator state
+  ``(X, x_prev, u_bar, steps)`` + config as a compressed npz — resumes the
+  ADMM run exactly (dual variables included, which the reference's
+  points.txt restart loses),
+* the reference-compatible CSV path stays available through
+  ``geometry.io`` + ``TestType: FromFile``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str, cfg, mesh, state, step: int) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step:06d}.npz")
+    tmp = path + ".tmp"
+    arrays = {
+        "x": np.asarray(state.x, dtype=np.float64),
+        "steps": np.asarray(state.steps),
+        "F": np.asarray(mesh._F_np),
+        "mask": np.asarray(mesh.mask_np),
+    }
+    if hasattr(state, "x_prev"):
+        arrays["x_prev"] = np.asarray(state.x_prev, dtype=np.float64)
+    if hasattr(state, "u_bar"):
+        arrays["u_bar"] = np.asarray(state.u_bar, dtype=np.float64)
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f, config=json.dumps(dataclasses.asdict(cfg)), **arrays
+        )
+    os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    files = sorted(
+        f for f in os.listdir(ckpt_dir)
+        if f.startswith("step_") and f.endswith(".npz")
+    )
+    return os.path.join(ckpt_dir, files[-1]) if files else None
+
+
+def load_checkpoint(path: str):
+    """Returns (cfg, arrays dict). Rebuild with ``resume_experiment``."""
+    from ..config import ExperimentConfig
+
+    with np.load(path, allow_pickle=False) as z:
+        cfg = ExperimentConfig(**json.loads(str(z["config"])))
+        arrays = {k: z[k] for k in z.files if k != "config"}
+    return cfg, arrays
+
+
+def resume_experiment(path: str, base_dir: str = "."):
+    """Rebuild (mesh, integrator, state) from a checkpoint file."""
+    import jax.numpy as jnp
+
+    from ..problems import build_problem
+
+    cfg, arrays = load_checkpoint(path)
+    mesh, integ = build_problem(cfg, base_dir)
+    state = integ.init_state()
+    dtype = mesh.dtype
+    updates = {"x": jnp.asarray(arrays["x"], dtype=dtype)}
+    if "x_prev" in arrays and hasattr(state, "x_prev"):
+        updates["x_prev"] = jnp.asarray(arrays["x_prev"], dtype=dtype)
+    if "u_bar" in arrays and hasattr(state, "u_bar"):
+        u = jnp.asarray(arrays["u_bar"], dtype=dtype)
+        if u.shape == state.u_bar.shape:
+            updates["u_bar"] = u
+    if hasattr(state, "steps"):
+        updates["steps"] = jnp.asarray(arrays["steps"])
+    state = state._replace(**updates)
+    return cfg, mesh, integ, state

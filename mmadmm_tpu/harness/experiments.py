@@ -1,0 +1,110 @@
+"""Experiment sweep workflows.
+
+Re-provides the reference's ``experiments.py`` entry points
+(``run_scale_experiment`` ``:503-541``, ``run_parallel_experiment``
+``:435-468``, ``plot_energy_decrease`` ``:209-283``) as library functions:
+
+* ``run_method_comparison`` — run methods 0/1/2 on one config, record wall
+  times + traces (the reference's ``Single<cfg>.json`` artifact),
+* ``run_device_scaling`` — sweep element-shard counts (the reference swept
+  OpenMP threads 1..32), record times (``Para<cfg>.json`` analogue),
+* ``compare_to_reference`` — load a shipped ``Ih<m>.txt`` trace and report
+  step-wise deltas for parity checking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..config import ExperimentConfig, load_experiment_config
+from .runner import run_experiment
+
+REF_RESULTS = "/root/reference/Experiments/Results"
+
+
+def run_method_comparison(
+    cfg_path: str,
+    out_dir: str | None = None,
+    methods=(0, 1, 2),
+    n_repeats: int = 1,
+    **run_kw,
+) -> dict:
+    """Single-config method timing comparison (experiments.py:503-541)."""
+    results: dict = {"config": cfg_path, "methods": {}}
+    for m in methods:
+        times, finals, steps = [], [], []
+        for _ in range(n_repeats):
+            cfg = load_experiment_config(cfg_path, method=m)
+            res = run_experiment(
+                cfg,
+                out_dir=os.path.join(out_dir, f"method{m}") if out_dir else None,
+                **run_kw,
+            )
+            times.append(res.loop_time)
+            finals.append(res.final_ih)
+            steps.append(res.n_steps)
+        results["methods"][str(m)] = {
+            "mean_time": float(np.mean(times)),
+            "times": times,
+            "final_ih": finals[-1],
+            "n_steps": steps[-1],
+        }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "Single.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def run_device_scaling(
+    cfg_path: str,
+    device_counts=(1, 2, 4, 8),
+    out_dir: str | None = None,
+    n_repeats: int = 1,
+    **run_kw,
+) -> dict:
+    """Element-shard scaling sweep — the reference's OpenMP thread sweep
+    (experiments.py:435-468) mapped to device-mesh sizes."""
+    results: dict = {"config": cfg_path, "devices": {}}
+    for nd in device_counts:
+        times = []
+        for _ in range(n_repeats):
+            cfg = load_experiment_config(cfg_path)
+            cfg.n_devices = nd
+            res = run_experiment(cfg, out_dir=None, **run_kw)
+            times.append(res.loop_time)
+        results["devices"][str(nd)] = {
+            "mean_time": float(np.mean(times)),
+            "times": times,
+            "steps_per_s": res.n_steps / float(np.mean(times)),
+        }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "Para.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def load_reference_trace(name: str, method: int = 0) -> np.ndarray:
+    """Rows of (wall_s, Ih) from the shipped baseline artifacts."""
+    path = os.path.join(REF_RESULTS, name, f"Ih{method}.txt")
+    return np.loadtxt(path, delimiter=",", ndmin=2)
+
+
+def compare_to_reference(res, name: str, method: int = 0) -> dict:
+    """Step-wise parity report of a RunResult vs a recorded baseline."""
+    ref = load_reference_trace(name, method)[:, 1]
+    ours = np.asarray(res.ih_trace)
+    n = min(len(ref), len(ours))
+    delta = np.abs(ours[:n] - ref[:n])
+    rel = delta / np.maximum(np.abs(ref[:n]), 1e-30)
+    return {
+        "n_compared": int(n),
+        "max_rel_delta": float(rel.max()),
+        "first_divergence_step": int(np.argmax(rel > 1e-4)) if (rel > 1e-4).any() else -1,
+        "final_ours": float(ours[-1]),
+        "final_ref": float(ref[-1]),
+    }

@@ -1,0 +1,107 @@
+"""Mesh and energy plots — the reference's ``plot.py`` modes (``:16-332``):
+mesh wireframe (2D), surface/boundary (3D), energy-decrease comparison,
+parallel-scaling curves. Matplotlib (Agg) only; every function returns the
+output path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_mesh_2d(X, F, out_path: str, title: str | None = None):
+    """Triangle wireframe (plot.py mode 0)."""
+    plt = _plt()
+    X = np.asarray(X)
+    F = np.asarray(F)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.triplot(X[:, 0], X[:, 1], F[:, :3], lw=0.3, color="#1f77b4")
+    ax.set_aspect("equal")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_mesh_3d_boundary(X, F, out_path: str, title: str | None = None):
+    """Boundary faces of a tet mesh (plot.py mode 5-ish)."""
+    plt = _plt()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    X = np.asarray(X)
+    F = np.asarray(F)
+    # boundary triangles = faces appearing in exactly one tet
+    faces = np.concatenate(
+        [F[:, [0, 1, 2]], F[:, [0, 1, 3]], F[:, [0, 2, 3]], F[:, [1, 2, 3]]]
+    )
+    key = np.sort(faces, axis=1)
+    _, idx, cnt = np.unique(key, axis=0, return_index=True, return_counts=True)
+    bfaces = faces[idx[cnt == 1]]
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    ax.add_collection3d(
+        Poly3DCollection(X[bfaces], alpha=0.5, edgecolor="k", linewidths=0.1)
+    )
+    ax.set_xlim(X[:, 0].min(), X[:, 0].max())
+    ax.set_ylim(X[:, 1].min(), X[:, 1].max())
+    ax.set_zlim(X[:, 2].min(), X[:, 2].max())
+    if title:
+        ax.set_title(title)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_energy_decrease(traces: dict, out_path: str, title: str | None = None):
+    """Energy-vs-time comparison across methods
+    (experiments.py:209-283). ``traces``: label -> (t, Ih) arrays."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for label, (t, ih) in traces.items():
+        ax.plot(np.asarray(t), np.asarray(ih), label=label, lw=1.2)
+    ax.set_xlabel("wall time (s)")
+    ax.set_ylabel(r"$I_h$")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_scaling(scaling: dict, out_path: str, title: str | None = None):
+    """Device-scaling curve (create_parallel_plot, experiments.py:285-433)."""
+    plt = _plt()
+    devs = sorted(int(k) for k in scaling["devices"])
+    times = [scaling["devices"][str(d)]["mean_time"] for d in devs]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(devs, times, "o-", label="measured")
+    ax.plot(
+        devs, [times[0] * devs[0] / d for d in devs], "k--", lw=0.8,
+        label="ideal",
+    )
+    ax.set_xlabel("devices")
+    ax.set_ylabel("wall time (s)")
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

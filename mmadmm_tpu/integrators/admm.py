@@ -74,6 +74,7 @@ class ADMMIntegrator:
         self.prox_max_iters = int(prox_max_iters)
         self.grad_use = bool(grad_use)
         self.device_mesh = device_mesh
+        self._multi_cache: dict[int, Any] = {}
         if device_mesh is None:
             self.shards = None
             self.step_fn = self._build_step()  # unjitted (for compile checks)
@@ -375,6 +376,27 @@ class ADMMIntegrator:
     def step(self, state: ADMMState):
         """One outer time step. Returns (state', StepInfo)."""
         return self._step(state)
+
+    def multi_step(self, state: ADMMState, k: int):
+        """K outer time steps in ONE device program (lax.scan over the step).
+
+        Amortizes per-call host->device dispatch latency — the analogue of
+        the reference's tight C++ outer loop (main.cpp:180-211). Returns
+        (state', StepInfo with leading axis K). The |dIh/dt| < DtTol stop is
+        then applied per chunk by the caller instead of per step.
+        """
+        k = int(k)
+        if k not in self._multi_cache:
+            step = self._step if self.shards is not None else self.step_fn
+
+            def body(carry, _):
+                s, info = step(carry)
+                return s, info
+
+            self._multi_cache[k] = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=k)
+            )
+        return self._multi_cache[k](state)
 
     def energy(self, state: ADMMState) -> float:
         """solver.getEnergy() (MeshIntegrator.cpp:79-81)."""

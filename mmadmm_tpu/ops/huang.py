@@ -72,6 +72,18 @@ def reference_ehat(D: int, n_elements: int) -> jnp.ndarray:
 
 
 # --- closed-form small linear algebra --------------------------------------
+#
+# NOTE: these deliberately avoid `@`/einsum/dot_general. On TPU, f32
+# dot_general defaults to bf16 MXU passes (~1e-3 relative error — measured
+# as a 0.8% energy deviation on Monitor120), and tiny D x D products belong
+# on the VPU anyway. Broadcast-multiply + sum stays in full f32/f64.
+
+
+def _mm(A, B):
+    """Matrix product over the last two axes, elementwise (VPU, full
+    precision): C[..., i, j] = sum_k A[..., i, k] B[..., k, j]."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
 
 def _det(A):
     D = A.shape[-1]
@@ -133,14 +145,14 @@ def _common_terms(z, xi, grid: MonitorGrid, ehat_const, comp_mesh: bool):
         ehat = ehat_const
     edet = _det(E)
     einv = _inv(E, edet)
-    fj = ehat @ einv  # :206
+    fj = _mm(ehat, einv)  # :206
     det_fj = _det(fj)
 
     d = float(D)
     fjt = fj.T
-    minv_jt = minv @ fjt
-    jmjt = fj @ minv_jt
-    tr = jnp.trace(jmjt)
+    minv_jt = _mm(minv, fjt)
+    # tr(FJ Minv FJ^T) without forming the product matrix
+    tr = jnp.sum(fj * jnp.swapaxes(minv_jt, -1, -2))
     det_m = jnp.sqrt(1.0 / jnp.maximum(_det(minv), _DET_FLOOR))  # :217
 
     tr_c = jnp.maximum(tr, _DET_FLOOR)
@@ -186,7 +198,7 @@ def element_energy_grad(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None):
     )  # :233
     dGdM = (
         -0.5 * THETA * d * P_EXP * det_m * tr ** (dp2 - 1.0)
-        * (minv.T @ fjt @ fj @ minv)
+        * _mm(_mm(minv.T, fjt), _mm(fj, minv))
     ) + (
         0.5 * THETA * det_m * tr**dp2
         + (0.5 - THETA) * (1.0 - P_EXP) * d**dp2
@@ -195,11 +207,12 @@ def element_energy_grad(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None):
 
     # basisComb = sum_j einv.row(j) * tr(dGdM (mPre_{j+1} - mPre_0)) (:239-244)
     dm = m_pre[1:] - m_pre[0]  # [D, D, D]
-    traces = jnp.einsum("nm,jmn->j", dGdM, dm)  # tr(dGdM @ dm_j)
-    basis_comb = traces @ einv  # sum_j traces[j] * einv[j, :]
+    # tr(dGdM @ dm_j) = sum_{m,n} dGdM[n, m] dm[j, m, n]
+    traces = jnp.sum(dm * dGdM.T[None], axis=(-2, -1))
+    basis_comb = jnp.sum(traces[:, None] * einv, axis=0)  # traces @ einv
 
     c1 = -G + dGddet * det_fj  # :246
-    v_loc = c1 * einv + einv @ dGdJ @ fj  # :247
+    v_loc = c1 * einv + _mm(_mm(einv, dGdJ), fj)  # :247
     v_loc = v_loc - basis_comb[None, :] / (d + 1.0)  # :248-250
 
     grad_simplex = jnp.sum(v_loc, axis=0) + basis_comb  # :253-258 (dGdX = 0)

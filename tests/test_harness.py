@@ -1,0 +1,86 @@
+"""Harness tests: runner artifacts, chunked stepping, checkpoint round-trip,
+sweeps, plots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from mmadmm_tpu.config import ExperimentConfig  # noqa: E402
+from mmadmm_tpu.harness.runner import run_experiment  # noqa: E402
+from mmadmm_tpu.harness.checkpoint import (  # noqa: E402
+    latest_checkpoint,
+    resume_experiment,
+    save_checkpoint,
+)
+
+
+def tiny_cfg(method=0, **kw):
+    return ExperimentConfig(
+        name="tiny", test_type="SquareGrid", dim=2, mon_type=1,
+        method=method, nx=6, ny=6, n_steps=6, dt=5e-3, tau=0.1, rho=50.0,
+        dt_tol=1e-12, **kw,
+    )
+
+
+def test_runner_writes_reference_format_artifacts(tmp_path):
+    out = str(tmp_path / "out")
+    res = run_experiment(tiny_cfg(), out_dir=out)
+    assert res.n_steps == 6
+    assert os.path.exists(os.path.join(out, "points.txt"))
+    assert os.path.exists(os.path.join(out, "triangles.txt"))
+    trace = np.loadtxt(os.path.join(out, "Ih0.txt"), delimiter=",", ndmin=2)
+    assert trace.shape[0] == len(res.ih_trace)
+    with open(os.path.join(out, "summary.json")) as f:
+        s = json.load(f)
+    assert s["n_steps"] == 6
+
+    # the mesh file round-trips through the FromFile reader
+    from mmadmm_tpu.geometry.io import read_mesh
+
+    X, F, mask = read_mesh(
+        os.path.join(out, "triangles.txt"),
+        os.path.join(out, "points.txt"),
+        os.path.join(out, "mask.txt"),
+    )
+    assert X.shape[1] == 2 and F.shape[1] == 3 and mask.shape[0] == X.shape[0]
+
+
+def test_chunked_matches_stepwise():
+    r1 = run_experiment(tiny_cfg(), step_chunk=1)
+    r3 = run_experiment(tiny_cfg(), step_chunk=3)
+    np.testing.assert_allclose(r1.ih_trace, r3.ih_trace, rtol=1e-12)
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    from mmadmm_tpu.problems import build_problem
+
+    cfg = tiny_cfg()
+    mesh, integ = build_problem(cfg)
+    state = integ.init_state()
+    for _ in range(3):
+        state, _ = integ.step(state)
+    save_checkpoint(str(tmp_path), cfg, mesh, state, 3)
+    _, _, integ2, state2 = resume_experiment(latest_checkpoint(str(tmp_path)))
+    _, i1 = integ.step(state)
+    _, i2 = integ2.step(state2)
+    assert float(i1.ih_start) == float(i2.ih_start)
+
+
+def test_plots_render(tmp_path):
+    pytest.importorskip("matplotlib")
+    from mmadmm_tpu.geometry.node_type import NodeType
+    from mmadmm_tpu.geometry.rect_mesh import generate_uniform_rect_mesh
+    from mmadmm_tpu.harness.plotting import plot_energy_decrease, plot_mesh_2d
+
+    X, F, _ = generate_uniform_rect_mesh(
+        2, 4, 4, 0, 0, 1, 0, 1, 0, 1, NodeType.BOUNDARY_FIXED
+    )
+    p1 = plot_mesh_2d(X, F, str(tmp_path / "mesh.png"))
+    p2 = plot_energy_decrease(
+        {"admm": ([0, 1, 2], [1.0, 0.9, 0.85])}, str(tmp_path / "e.png")
+    )
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
