@@ -87,9 +87,12 @@ class BackwardEulerIntegrator:
         def step(x):
             xn = x
             # initial guess: one explicit Euler step (Mesh.cpp:1271-1273)
-            ih, g = mesh.gradient(x, interior_only=True)
+            _, g = mesh.gradient(x, interior_only=True)
             x = x - dt_tau * g
             x, n_newton = newton_solve(x, xn)
+            # the reference returns Ih from the LAST eulerStepMod inside the
+            # Newton loop, i.e. the post-step energy (Mesh.cpp:1289,1340)
+            ih = mesh._energy_impl(x)
             return x, ih, n_newton
 
         self._step = jax.jit(step)

@@ -63,3 +63,16 @@ def test_euler_monitor120_first_steps_match_reference():
     ours = run_steps("Monitor120", 4, method=1)
     ref = ref_trace("Monitor120", method=1)
     np.testing.assert_allclose(ours[:5], ref[:5], rtol=5e-6)
+
+
+def test_backward_euler_monitor120_first_steps_match_reference():
+    ours = run_steps("Monitor120", 3, method=2)
+    ref = ref_trace("Monitor120", method=2)
+    np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
+
+
+def test_admm_3d_first_steps_match_reference():
+    ours = run_steps("3DMonitor110", 3)
+    ref = ref_trace("3DMonitor110")
+    np.testing.assert_allclose(ours[0], ref[0], rtol=5e-6)
+    np.testing.assert_allclose(ours[1:4], ref[1:4], rtol=5e-6)
