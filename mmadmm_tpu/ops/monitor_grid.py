@@ -74,8 +74,9 @@ def build_monitor_grid(
     compat_3d_transpose: bool = True,
     dtype=jnp.float64,
 ) -> MonitorGrid:
-    """Host-side grid construction (setup time, NumPy + scipy cKDTree)."""
-    from scipy.spatial import cKDTree
+    """Host-side grid construction (setup time; native C++ grid-hash NN with
+    a SciPy cKDTree fallback — see ``runtime.native``)."""
+    from ..runtime.native import grid_nn_map
 
     NP, D = X.shape
     n = int((NP * D) ** (1.0 / D))  # MeshInterpolator.cpp:78-85 uses X.size()
@@ -89,16 +90,10 @@ def build_monitor_grid(
     hi = X.max(axis=0)
     axes = tuple(_linspace_ref(lo[d], hi[d], n) for d in range(D))
 
-    tree = cKDTree(X)
+    nn = grid_nn_map(X, lo, hi, n)
     if D == 2:
-        gx, gy = np.meshgrid(axes[0], axes[1], indexing="xy")  # [ny+1, nx+1]
-        q = np.stack([gx.ravel(), gy.ravel()], axis=1)
-        _, nn = tree.query(q)
         grid = mon_vals[nn].reshape(n + 1, n + 1, D * D)  # [j, i, :]
     else:
-        gz, gy, gx = np.meshgrid(axes[2], axes[1], axes[0], indexing="ij")
-        q = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
-        _, nn = tree.query(q)
         grid = mon_vals[nn].reshape(n + 1, n + 1, n + 1, D * D)  # [k, j, i, :]
         if compat_3d_transpose:
             # reference writes [k, i, j] and reads [k, j, i]
