@@ -114,7 +114,15 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
                 edet_of(z_a) > det_floor,
             )
             alpha = jnp.where(ok, a, alpha)
-        return z_flat + alpha * p, gnorm
+        # stalled = accepted step is below the dtype's resolution at z —
+        # no further progress is representable, so the element can retire
+        # (keeps f32 from burning all 50 iterations at its noise floor)
+        eps = jnp.asarray(
+            10.0 * jnp.finfo(z_flat.dtype).eps, dtype=z_flat.dtype
+        )
+        step_inf = alpha * jnp.max(jnp.abs(p))
+        stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(z_flat)))
+        return z_flat + alpha * p, gnorm, stalled
 
     batched_iter = jax.vmap(element_iter)
 
@@ -134,13 +142,15 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
 
         def body(carry):
             it, zc, active = carry
-            znew, gnorm = batched_iter(zc, xi, dxpuf, freef)
+            znew, gnorm, stalled = batched_iter(zc, xi, dxpuf, freef)
             # an element retires once the gradient at its current point is
             # below tol — but only from the second visit on (the reference
-            # always takes at least one step, Mesh.cpp:827-833)
+            # always takes at least one step, Mesh.cpp:827-833); or when the
+            # accepted step has stalled at the dtype's resolution
             retire = jnp.logical_and(gnorm < tol, it > 0)
             active = jnp.logical_and(active, ~retire)
             zc = jnp.where(active[:, None], znew, zc)
+            active = jnp.logical_and(active, ~stalled)
             return it + 1, zc, active
 
         active0 = jnp.ones(nf, dtype=bool)
