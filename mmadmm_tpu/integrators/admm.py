@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh import MovingMesh
+from ..ops.reductions import block_sum_f64, block_sumsq_f64
 
 
 class ADMMState(NamedTuple):
@@ -168,16 +169,12 @@ class ADMMIntegrator:
                 z, ih0_e = mesh.prox(
                     z, mesh.xi, dxpu, mesh.elem_free, prox_tol, prox_iters
                 )
-                ih_cur = jnp.sum(ih0_e.astype(jnp.float64))
+                ih_cur = block_sum_f64(ih0_e)
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_bar = dxpu - z
                 x = x_update(x_bar, z, u_bar)
-                primal = jnp.linalg.norm(
-                    (mesh.gather(x) - z).astype(jnp.float64).ravel()
-                )
-                dual = jnp.linalg.norm(
-                    (z - z_prev).astype(jnp.float64).ravel()
-                )
+                primal = jnp.sqrt(block_sumsq_f64(mesh.gather(x) - z))
+                dual = jnp.sqrt(block_sumsq_f64(z - z_prev))
                 done = jnp.logical_and(primal < tol, dual < tol)
                 return i + 1, done, x, z, u_bar, ih_start, primal, dual
 
@@ -263,9 +260,7 @@ class ADMMIntegrator:
                     lambda z, xi: _eg(z, xi)
                 )(z_l, xi_l)
                 g = scatter(g_e * free_l)
-                ih = jax.lax.psum(
-                    jnp.sum(ih_e.astype(jnp.float64) * valid_l), "elems"
-                )
+                ih = jax.lax.psum(block_sum_f64(ih_e * valid_l), "elems")
                 return ih, g
 
             def _eg(z, xi):
@@ -300,8 +295,9 @@ class ADMMIntegrator:
             x = x_update(x_bar, z_l, u_bar_l)
 
             def norm_sq(v_l):
-                s = jnp.sum((v_l.astype(jnp.float64) * valid_e) ** 2)
-                return jax.lax.psum(s, "elems")
+                return jax.lax.psum(
+                    block_sumsq_f64(v_l * valid_e), "elems"
+                )
 
             def cond(carry):
                 i, done, *_ = carry
@@ -315,7 +311,7 @@ class ADMMIntegrator:
                     z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
                 )
                 ih_cur = jax.lax.psum(
-                    jnp.sum(ih0_e.astype(jnp.float64) * valid_l), "elems"
+                    block_sum_f64(ih0_e * valid_l), "elems"
                 )
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_l = dxpu_l - z_l

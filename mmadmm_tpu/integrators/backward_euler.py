@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh import MovingMesh
+from ..ops.reductions import block_sum_f64
 
 
 class BackwardEulerState(NamedTuple):
@@ -65,7 +66,7 @@ class BackwardEulerIntegrator:
             def body(carry):
                 it, x, _, _ = carry
                 F = residual(x, xn)
-                gnorm = jnp.sum(jnp.abs(F.astype(jnp.float64)))
+                gnorm = block_sum_f64(jnp.abs(F))
 
                 def jvp(v):
                     return jax.jvp(lambda y: residual(y, xn), (x,), (v,))[1]
@@ -78,7 +79,7 @@ class BackwardEulerIntegrator:
                 return it + 1, x, gnorm, gnorm
 
             F0 = residual(x, xn)
-            g0 = jnp.sum(jnp.abs(F0.astype(jnp.float64)))
+            g0 = block_sum_f64(jnp.abs(F0))
             it, x, _, _ = jax.lax.while_loop(
                 cond, body, (jnp.zeros((), jnp.int32), x, g0, jnp.inf)
             )

@@ -29,6 +29,7 @@ import numpy as np
 from .geometry.node_type import NodeType
 from .geometry import topology
 from .ops import huang
+from .ops.reductions import block_sum_f64
 from .ops.monitor_grid import build_monitor_grid
 from .ops.prox import make_prox_solver
 from .ops.scatter import gather_elements, scatter_add_nodes
@@ -142,7 +143,7 @@ class MovingMesh:
         """Mesh::computeEnergy (Mesh.cpp:497-530): sum of element energies,
         accumulated in float64."""
         e = self._energy_e(self.gather(x), self.xi)
-        return jnp.sum(e.astype(jnp.float64))
+        return block_sum_f64(e)
 
     def _gradient_impl(self, x: jnp.ndarray, interior_only: bool):
         """(Ih, grad[NP, D]) — the assembled functional gradient.
@@ -163,12 +164,12 @@ class MovingMesh:
             g = g * self.interior_nodes
         else:
             g = self.scatter_add(g_e * self.elem_free)
-        return jnp.sum(ih_e.astype(jnp.float64)), g
+        return block_sum_f64(ih_e), g
 
     def energy_of_z(self, z: jnp.ndarray) -> jnp.ndarray:
         """Sum of unregularized element energies at element-stacked z."""
         e = self._energy_e(z, self.xi)
-        return jnp.sum(e.astype(jnp.float64))
+        return block_sum_f64(e)
 
     def build_shards(self, n_shards: int):
         """Partition-ordered, padded element shards for SPMD execution

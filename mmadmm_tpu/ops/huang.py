@@ -44,7 +44,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .monitor_grid import MonitorGrid, sample_monitor
+from .monitor_grid import MonitorGrid, sample_frozen, sample_monitor
 
 P_EXP = 1.5  # AdaptationFunctional.cpp:210
 THETA = 1.0 / 3.0  # :211
@@ -131,10 +131,18 @@ def _inv(A, det=None):
 
 # --- core per-element computation ------------------------------------------
 
-def _common_terms(z, xi, grid: MonitorGrid, ehat_const, comp_mesh: bool):
-    """Shared between energy and gradient. z: [D+1, D]."""
+def _common_terms(z, xi, grid: MonitorGrid, ehat_const, comp_mesh: bool,
+                  cells=None):
+    """Shared between energy and gradient. z: [D+1, D].
+
+    ``cells``: optional frozen interpolation cells (one per vertex, leading
+    axis D+1) — replaces the grid gather with pure arithmetic inside hot
+    loops (see ``monitor_grid.gather_cell``)."""
     D = z.shape[-1]
-    m_pre = jax.vmap(lambda p: sample_monitor(grid, p))(z)  # [D+1, D, D]
+    if cells is not None:
+        m_pre = jax.vmap(sample_frozen)(cells, z)  # [D+1, D, D]
+    else:
+        m_pre = jax.vmap(lambda p: sample_monitor(grid, p))(z)  # [D+1, D, D]
     m_sum = jnp.sum(m_pre, axis=0)
     minv = _inv(m_sum) / (D + 1.0)  # :157 (verbatim, incl. the 1/(D+1))
 
@@ -169,22 +177,24 @@ def _common_terms(z, xi, grid: MonitorGrid, ehat_const, comp_mesh: bool):
     )
 
 
-def element_energy(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None):
+def element_energy(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None,
+                   cells=None):
     """Ih for one element (:224-229); + prox regularization if dxpu given."""
-    t = _common_terms(z, xi, grid, ehat_const, comp_mesh)
+    t = _common_terms(z, xi, grid, ehat_const, comp_mesh, cells)
     ih = t["abs_k"] * t["G"]
     if dxpu is not None:
         ih = ih + 0.5 * w * w * jnp.sum((dxpu - z) ** 2)
     return ih
 
 
-def element_energy_grad(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None):
+def element_energy_grad(z, xi, grid, ehat_const, comp_mesh, dxpu=None, w=None,
+                        cells=None):
     """(Ih, grad[D+1, D]) replicating the reference's analytic gradient
     (:232-282). Returns the *unregularized* energy as Igt (:276) plus the
     regularized gradient when ``dxpu`` is given — matching how the prox path
     consumes it (``Mesh::bfgsOptSimplex`` keeps Ihsave = Igt,
     ``Mesh.cpp:791-792``)."""
-    t = _common_terms(z, xi, grid, ehat_const, comp_mesh)
+    t = _common_terms(z, xi, grid, ehat_const, comp_mesh, cells)
     D = z.shape[-1]
     d, dp2 = t["d"], t["dp2"]
     G, det_m, tr, det_fj = t["G"], t["det_m"], t["tr"], t["det_fj"]

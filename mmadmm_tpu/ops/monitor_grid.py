@@ -190,3 +190,85 @@ def sample_monitor(grid: MonitorGrid, pnt: jnp.ndarray) -> jnp.ndarray:
 
 
 sample_monitor_batch = jax.vmap(sample_monitor, in_axes=(None, 0))
+
+
+# --- frozen-cell sampling -----------------------------------------------
+#
+# TPU-native hot-loop redesign: dynamic table gathers are the slowest op in
+# the prox Newton iteration, and within one prox call vertices move far
+# less than a grid cell. ``gather_cell`` fetches the (2^D) corner tensors +
+# cell bounds ONCE per prox call; ``sample_frozen`` then evaluates the
+# bi/trilinear form as pure arithmetic (exact while the vertex stays in its
+# cell, continuous linear extrapolation if it crosses — the cells refresh
+# at the next ADMM iteration). The reference re-gathers per BFGS iteration
+# — cheap on CPU, pathological on TPU.
+
+
+def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
+    """Fetch the interpolation cell for one point: corner values
+    [2^D, D*D] + bounds. vmap over points."""
+    D = grid.dim
+    if D == 2:
+        ax, ay = grid.axes
+        xi = _cell_index(pnt[0], ax)
+        yi = _cell_index(pnt[1], ay)
+        g = grid.values
+        vals = jnp.stack(
+            [g[yi, xi], g[yi, xi + 1], g[yi + 1, xi], g[yi + 1, xi + 1]]
+        )  # [4, DD]
+        return dict(
+            vals=vals, x0=ax[xi], x1=ax[xi + 1], y0=ay[yi], y1=ay[yi + 1]
+        )
+    ax, ay, az = grid.axes
+    xi = _cell_index(pnt[0], ax)
+    yi = _cell_index(pnt[1], ay)
+    zi = _cell_index(pnt[2], az)
+    g = grid.values
+    vals = jnp.stack(
+        [
+            g[zi, yi, xi], g[zi, yi, xi + 1],
+            g[zi, yi + 1, xi], g[zi, yi + 1, xi + 1],
+            g[zi + 1, yi, xi], g[zi + 1, yi, xi + 1],
+            g[zi + 1, yi + 1, xi], g[zi + 1, yi + 1, xi + 1],
+        ]
+    )  # [8, DD]
+    return dict(
+        vals=vals,
+        x0=ax[xi], x1=ax[xi + 1],
+        y0=ay[yi], y1=ay[yi + 1],
+        z0=az[zi], z1=az[zi + 1],
+    )
+
+
+def sample_frozen(cell: dict, pnt: jnp.ndarray) -> jnp.ndarray:
+    """Bi/trilinear sample from a frozen cell (no gathers; same formula as
+    ``sample_monitor``)."""
+    vals = cell["vals"]
+    D = 2 if vals.shape[0] == 4 else 3
+    if D == 2:
+        x0, x1, y0, y1 = cell["x0"], cell["x1"], cell["y0"], cell["y1"]
+        norm = 1.0 / ((x1 - x0) * (y1 - y0))
+        x, y = pnt[0], pnt[1]
+        c00 = norm * (x1 - x) * (y1 - y)
+        c10 = norm * (x - x0) * (y1 - y)
+        c01 = norm * (x1 - x) * (y - y0)
+        c11 = norm * (x - x0) * (y - y0)
+        v = c00 * vals[0] + c10 * vals[1] + c01 * vals[2] + c11 * vals[3]
+        return v.reshape(2, 2)
+    x0, x1 = cell["x0"], cell["x1"]
+    y0, y1 = cell["y0"], cell["y1"]
+    z0, z1 = cell["z0"], cell["z1"]
+    xd = (pnt[0] - x0) / (x1 - x0)
+    yd = (pnt[1] - y0) / (y1 - y0)
+    zd = (pnt[2] - z0) / (z1 - z0)
+    v = (
+        (1 - xd) * (1 - yd) * (1 - zd) * vals[0]
+        + xd * (1 - yd) * (1 - zd) * vals[1]
+        + (1 - xd) * yd * (1 - zd) * vals[2]
+        + xd * yd * (1 - zd) * vals[3]
+        + (1 - xd) * (1 - yd) * zd * vals[4]
+        + xd * (1 - yd) * zd * vals[5]
+        + (1 - xd) * yd * zd * vals[6]
+        + xd * yd * zd * vals[7]
+    )
+    return v.reshape(3, 3)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from .huang import _det, element_energy, element_energy_grad
 from .linalg import ldlt_solve
+from .monitor_grid import gather_cell
 
 _LEVENBERG = 1e-9
 
@@ -49,26 +50,30 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
     """
     n = dim * (dim + 1)
 
-    def grad_fn(z_flat, xi, dxpu):
+    def grad_fn(z_flat, xi, dxpu, cells):
         _, g = element_energy_grad(
             z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh,
-            dxpu=dxpu.reshape(dim + 1, dim), w=w,
+            dxpu=dxpu.reshape(dim + 1, dim), w=w, cells=cells,
         )
         return g.reshape(n)
 
     jac_fn = jax.jacfwd(grad_fn)
 
-    def energy_fn(z_flat, xi):
+    def energy_fn(z_flat, xi, cells):
         return element_energy(
-            z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh
+            z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh,
+            cells=cells,
         )
 
     batched_energy = jax.vmap(energy_fn)
+    # frozen interpolation cells: one grid gather per vertex per prox CALL,
+    # making every Newton iteration gather-free (monitor_grid.gather_cell)
+    gather_cells = jax.vmap(jax.vmap(lambda p: gather_cell(grid, p)))
 
-    def reg_energy(z_flat, xi, dxpu):
+    def reg_energy(z_flat, xi, dxpu, cells):
         return element_energy(
             z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh,
-            dxpu=dxpu.reshape(dim + 1, dim), w=w,
+            dxpu=dxpu.reshape(dim + 1, dim), w=w, cells=cells,
         )
 
     # backtracking schedule: full Newton step, then halvings, then no move.
@@ -78,12 +83,12 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
     # AdaptationFunctional.cpp:174 — we stay finite instead).
     _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
 
-    def element_iter(z_flat, xi, dxpu, free):
+    def element_iter(z_flat, xi, dxpu, free, cells):
         """Gradient norm at z and the safeguarded-Newton-updated point.
         free: [n] 0/1."""
-        g = grad_fn(z_flat, xi, dxpu) * free
+        g = grad_fn(z_flat, xi, dxpu, cells) * free
         gnorm = jnp.sum(jnp.abs(g))
-        J = jac_fn(z_flat, xi, dxpu)
+        J = jac_fn(z_flat, xi, dxpu, cells)
         # mask fixed coords: J' = M J M + (I - M)
         J = J * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         J = J + _LEVENBERG * jnp.eye(n, dtype=z_flat.dtype)
@@ -102,13 +107,13 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
             zm = zf.reshape(dim + 1, dim)
             return _det(jnp.swapaxes(zm[1:] - zm[0], 0, 1))
 
-        e0 = reg_energy(z_flat, xi, dxpu)
+        e0 = reg_energy(z_flat, xi, dxpu, cells)
         det0 = edet_of(z_flat)
         det_floor = jnp.minimum(det0, 0.0)
         alpha = jnp.zeros((), dtype=z_flat.dtype)
         for a in reversed(_ALPHAS[:-1]):  # evaluate small->large; last wins
             z_a = z_flat + a * p
-            e_a = reg_energy(z_a, xi, dxpu)
+            e_a = reg_energy(z_a, xi, dxpu, cells)
             ok = jnp.logical_and(
                 jnp.logical_and(jnp.isfinite(e_a), e_a <= e0),
                 edet_of(z_a) > det_floor,
@@ -134,7 +139,8 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
         dxpuf = dxpu.reshape(nf, n)
         freef = free_mask.reshape(nf, n)
 
-        ih0 = batched_energy(zf, xi)
+        cells = gather_cells(z)  # frozen for the whole solve
+        ih0 = batched_energy(zf, xi, cells)
 
         def cond(carry):
             it, _, active = carry
@@ -142,7 +148,7 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
 
         def body(carry):
             it, zc, active = carry
-            znew, gnorm, stalled = batched_iter(zc, xi, dxpuf, freef)
+            znew, gnorm, stalled = batched_iter(zc, xi, dxpuf, freef, cells)
             # an element retires once the gradient at its current point is
             # below tol — but only from the second visit on (the reference
             # always takes at least one step, Mesh.cpp:827-833); or when the

@@ -46,6 +46,27 @@ def make_device_mesh(n_devices: int | None = None, devices=None):
     return Mesh(np.asarray(devices), ("elems",))
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Bring up JAX's multi-host runtime for pod-slice execution.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters. After this, ``jax.devices()``
+    spans all hosts and the ``"elems"`` mesh axis in ``make_device_mesh``
+    shards globally (collectives ride ICI within a slice, DCN across
+    slices). The reference has no equivalent — its only cluster usage is
+    SLURM arrays of independent processes (SURVEY §2.3)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
+
+
 def build_elem_shards(
     X: np.ndarray,
     F: np.ndarray,

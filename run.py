@@ -27,6 +27,9 @@ def main(argv=None) -> int:
                     help="0=ADMM, 1=Euler, 2=backward Euler")
     ap.add_argument("n_devices", nargs="?", type=int, default=1)
     ap.add_argument("--out", default=None, help="artifact output directory")
+    ap.add_argument("--base-dir", default=None,
+                    help="base dir for FromFile mesh paths (defaults to the "
+                         "config's repo root when using a reference config)")
     ap.add_argument("--dtype", default=None, choices=["float32", "float64"])
     ap.add_argument("--steps", type=int, default=None, help="override nSteps")
     ap.add_argument("--chunk", type=int, default=1,
@@ -54,10 +57,20 @@ def main(argv=None) -> int:
     if args.steps is not None:
         cfg.n_steps = args.steps
 
+    base_dir = args.base_dir
+    if base_dir is None:
+        # FromFile paths in the reference configs are relative to the
+        # reference repo root (main.cpp:814-831)
+        base_dir = (
+            os.path.dirname(os.path.dirname(os.path.dirname(path)))
+            if path.startswith(REF_INPUTS)
+            else "."
+        )
     out_dir = args.out or os.path.join("Results", cfg.name)
     res = run_experiment(
         cfg,
         out_dir=out_dir,
+        base_dir=base_dir,
         step_chunk=args.chunk,
         verbose=args.verbose,
         checkpoint_every=args.checkpoint_every,
