@@ -34,19 +34,22 @@ def main() -> None:
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64
     mesh, integ = build_problem(cfg)
 
+    chunk = 10
     state = integ.init_state()
     # warmup: compile + the expensive first steps (predictor grad path)
     for _ in range(3):
         state, info = integ.step(state)
+    state, infos = integ.multi_step(state, chunk)  # compile the scan
     jax.block_until_ready(state.x)
 
+    n_chunks = -(-n_meas // chunk)
     t0 = time.perf_counter()
-    for _ in range(n_meas):
-        state, info = integ.step(state)
+    for _ in range(n_chunks):
+        state, infos = integ.multi_step(state, chunk)
     jax.block_until_ready(state.x)
     wall = time.perf_counter() - t0
 
-    steps_per_s = n_meas / wall
+    steps_per_s = n_chunks * chunk / wall
     print(
         json.dumps(
             {

@@ -83,6 +83,43 @@ def plot_energy_decrease(traces: dict, out_path: str, title: str | None = None):
     return out_path
 
 
+def plot_mesh_animation(frames, F, out_path: str, fps: int = 5):
+    """GIF of mesh evolution (plot.py mode 4). ``frames``: list of X
+    arrays."""
+    plt = _plt()
+    from matplotlib.animation import PillowWriter
+
+    F = np.asarray(F)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    writer = PillowWriter(fps=fps)
+    with writer.saving(fig, out_path, dpi=100):
+        for X in frames:
+            X = np.asarray(X)
+            ax.clear()
+            ax.triplot(X[:, 0], X[:, 1], F[:, :3], lw=0.3, color="#1f77b4")
+            ax.set_aspect("equal")
+            writer.grab_frame()
+    plt.close(fig)
+    return out_path
+
+
+def plot_monitor_contour(grid_values, out_path: str, entry=0,
+                         title: str | None = None):
+    """Contour of one monitor-tensor entry over the background grid
+    (plot.py grid mode). ``grid_values``: [ny+1, nx+1, D*D]."""
+    plt = _plt()
+    v = np.asarray(grid_values)[..., entry]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.contourf(v, levels=20)
+    fig.colorbar(im, ax=ax)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_scaling(scaling: dict, out_path: str, title: str | None = None):
     """Device-scaling curve (create_parallel_plot, experiments.py:285-433)."""
     plt = _plt()

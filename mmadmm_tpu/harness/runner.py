@@ -38,6 +38,7 @@ class RunResult:
     t_trace: list = field(default_factory=list)
     n_steps: int = 0
     converged: bool = False
+    failed: bool = False  # non-finite energy watchdog tripped
     setup_time: float = 0.0
     compile_time: float = 0.0
     loop_time: float = 0.0
@@ -49,6 +50,7 @@ class RunResult:
             "method": self.method,
             "n_steps": self.n_steps,
             "converged": self.converged,
+            "failed": self.failed,
             "final_ih": self.final_ih,
             "setup_time": self.setup_time,
             "compile_time": self.compile_time,
@@ -103,6 +105,18 @@ def run_experiment(
                 float(info.ih_start) if hasattr(info, "ih_start") else float(info)
             ]
         now = time.perf_counter() - t_loop
+        # failure watchdog (the reference's failure handling is
+        # assert/exit(1), SURVEY §5.3; here: stop, keep artifacts)
+        if not all(np.isfinite(ihs)):
+            res.failed = True
+            print(
+                f"[{cfg.name}] non-finite energy at step ~{step_i}; stopping",
+                flush=True,
+            )
+            res.ih_trace.extend(ihs)
+            res.t_trace.extend([now] * len(ihs))
+            step_i += len(ihs)
+            break
         done = False
         for ih in ihs:
             step_i += 1
