@@ -44,17 +44,22 @@ class MonitorGrid:
 
     values: [(nz+1)?, ny+1, nx+1, D*D] (2D: [ny+1, nx+1, 4])
     axes:   tuple of per-axis node coordinate arrays (x, y[, z])
+    cell_table: 2D only — [ny*nx, 4*DD + 4] rows of
+      (v00, v10, v01, v11, x0, x1, y0, y1) per cell, so freezing a cell is
+      ONE wide-row gather instead of 8 narrow ones (None in 3D: the 8x
+      table would be GBs at production grid sizes).
     """
 
     values: jnp.ndarray
     axes: tuple
+    cell_table: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.values, self.axes), None
+        return (self.values, self.axes, self.cell_table), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(values=children[0], axes=children[1])
+        return cls(values=children[0], axes=children[1], cell_table=children[2])
 
     @property
     def dim(self):
@@ -101,9 +106,27 @@ def build_monitor_grid(
             grid = np.swapaxes(grid, 1, 2)
 
     grid = _smooth_grid(grid, num_smooth)
+    cell_table = None
+    if D == 2:
+        ax, ay = axes
+        v00 = grid[:-1, :-1]  # [ny, nx, DD]
+        v10 = grid[:-1, 1:]
+        v01 = grid[1:, :-1]
+        v11 = grid[1:, 1:]
+        ny, nx = v00.shape[:2]
+        x0 = np.broadcast_to(ax[None, :-1], (ny, nx))[..., None]
+        x1 = np.broadcast_to(ax[None, 1:], (ny, nx))[..., None]
+        y0 = np.broadcast_to(ay[:-1, None], (ny, nx))[..., None]
+        y1 = np.broadcast_to(ay[1:, None], (ny, nx))[..., None]
+        cell_table = jnp.asarray(
+            np.concatenate([v00, v10, v01, v11, x0, x1, y0, y1], axis=-1)
+            .reshape(ny * nx, 4 * D * D + 4),
+            dtype=dtype,
+        )
     return MonitorGrid(
         values=jnp.asarray(grid, dtype=dtype),
         axes=tuple(jnp.asarray(a, dtype=dtype) for a in axes),
+        cell_table=cell_table,
     )
 
 
@@ -212,6 +235,15 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
         ax, ay = grid.axes
         xi = _cell_index(pnt[0], ax)
         yi = _cell_index(pnt[1], ay)
+        if grid.cell_table is not None:
+            nx = ax.shape[0] - 1
+            row = grid.cell_table[yi * nx + xi]  # one wide gather row
+            dd = D * D
+            return dict(
+                vals=row[: 4 * dd].reshape(4, dd),
+                x0=row[4 * dd], x1=row[4 * dd + 1],
+                y0=row[4 * dd + 2], y1=row[4 * dd + 3],
+            )
         g = grid.values
         vals = jnp.stack(
             [g[yi, xi], g[yi, xi + 1], g[yi + 1, xi], g[yi + 1, xi + 1]]
