@@ -163,8 +163,11 @@ class ADMMIntegrator:
                 return jnp.logical_and(i < n_iters, ~done)
 
             def body(carry):
-                i, _, x, z, u_bar, ih_start, primal, dual = carry
-                dxpu = mesh.gather(x) + u_bar
+                # gx = D x is carried across iterations so each iteration
+                # performs exactly one gather (dxpu and the primal residual
+                # share it)
+                i, _, x, gx, z, u_bar, ih_start, primal, dual = carry
+                dxpu = gx + u_bar
                 z_prev = z
                 z, ih0_e = mesh.prox(
                     z, mesh.xi, dxpu, mesh.elem_free, prox_tol, prox_iters
@@ -173,22 +176,24 @@ class ADMMIntegrator:
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_bar = dxpu - z
                 x = x_update(x_bar, z, u_bar)
-                primal = jnp.sqrt(block_sumsq_f64(mesh.gather(x) - z))
+                gx = mesh.gather(x)
+                primal = jnp.sqrt(block_sumsq_f64(gx - z))
                 dual = jnp.sqrt(block_sumsq_f64(z - z_prev))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return i + 1, done, x, z, u_bar, ih_start, primal, dual
+                return i + 1, done, x, gx, z, u_bar, ih_start, primal, dual
 
             init = (
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), bool),
                 x,
+                mesh.gather(x),
                 z,
                 u_bar,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            i, _, x, z, u_bar, ih_start, primal, dual = jax.lax.while_loop(
+            i, _, x, _, z, u_bar, ih_start, primal, dual = jax.lax.while_loop(
                 cond, body, init
             )
 
@@ -304,8 +309,10 @@ class ADMMIntegrator:
                 return jnp.logical_and(i < n_iters, ~done)
 
             def body(carry):
-                i, _, x, z_l, u_l, ih_start, primal, dual = carry
-                dxpu_l = gather(x) + u_l
+                # gx_l carried: one gather per iteration (shared by dxpu
+                # and the primal residual)
+                i, _, x, gx_l, z_l, u_l, ih_start, primal, dual = carry
+                dxpu_l = gx_l + u_l
                 z_prev_l = z_l
                 z_l, ih0_e = mesh.prox(
                     z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
@@ -316,22 +323,24 @@ class ADMMIntegrator:
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_l = dxpu_l - z_l
                 x = x_update(x_bar, z_l, u_l)
-                primal = jnp.sqrt(norm_sq(gather(x) - z_l))
+                gx_l = gather(x)
+                primal = jnp.sqrt(norm_sq(gx_l - z_l))
                 dual = jnp.sqrt(norm_sq(z_l - z_prev_l))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return i + 1, done, x, z_l, u_l, ih_start, primal, dual
+                return i + 1, done, x, gx_l, z_l, u_l, ih_start, primal, dual
 
             init = (
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), bool),
                 x,
+                gather(x),
                 z_l,
                 u_bar_l,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            i, _, x, z_l, u_bar_l, ih_start, primal, dual = jax.lax.while_loop(
+            i, _, x, _, z_l, u_bar_l, ih_start, primal, dual = jax.lax.while_loop(
                 cond, body, init
             )
 
