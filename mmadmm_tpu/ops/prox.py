@@ -57,6 +57,16 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
         )
         return g.reshape(n)
 
+    def grad_fn_with_ih(z_flat, xi, dxpu, cells):
+        ih, g = element_energy_grad(
+            z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh,
+            dxpu=dxpu.reshape(dim + 1, dim), w=w, cells=cells,
+        )
+        # ih is unregularized (Igt); add the prox term for the line-search
+        # reference energy — no separate energy evaluation needed
+        e_reg = ih + 0.5 * w * w * jnp.sum((dxpu - z_flat) ** 2)
+        return g.reshape(n), e_reg
+
     jac_fn = jax.jacfwd(grad_fn)
 
     def energy_fn(z_flat, xi, cells):
@@ -83,10 +93,15 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
     # AdaptationFunctional.cpp:174 — we stay finite instead).
     _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
 
-    def element_iter(z_flat, xi, dxpu, free, cells):
-        """Gradient norm at z and the safeguarded-Newton-updated point.
-        free: [n] 0/1."""
-        g = grad_fn(z_flat, xi, dxpu, cells) * free
+    def edet_of(zf):
+        zm = zf.reshape(dim + 1, dim)
+        return _det(jnp.swapaxes(zm[1:] - zm[0], 0, 1))
+
+    def newton_dir(z_flat, xi, dxpu, free, cells):
+        """Newton direction + gradient norm + line-search reference energy
+        for one element. free: [n] 0/1."""
+        g, e0 = grad_fn_with_ih(z_flat, xi, dxpu, cells)
+        g = g * free
         gnorm = jnp.sum(jnp.abs(g))
         J = jac_fn(z_flat, xi, dxpu, cells)
         # mask fixed coords: J' = M J M + (I - M)
@@ -97,39 +112,56 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
         # fall back to a damped gradient step if the solve failed
         bad = ~jnp.all(jnp.isfinite(p))
         p = jnp.where(bad, -g / (w * w), p)
+        return p, gnorm, e0
 
-        # branch-free backtracking: largest alpha whose regularized energy is
-        # finite and non-increasing AND whose element stays positively
-        # oriented wins (the det clamp in the energy makes inverted states
-        # look deceptively cheap, so orientation is checked explicitly;
-        # an already-inverted element only has to improve its det)
-        def edet_of(zf):
-            zm = zf.reshape(dim + 1, dim)
-            return _det(jnp.swapaxes(zm[1:] - zm[0], 0, 1))
+    batched_dir = jax.vmap(newton_dir)
 
-        e0 = reg_energy(z_flat, xi, dxpu, cells)
-        det0 = edet_of(z_flat)
+    def trial_ok(z_flat, xi, dxpu, cells, e0, det_floor):
+        """Accept test for one candidate point: finite, non-increasing
+        regularized energy, and positively-oriented element (the det clamp
+        in the energy makes inverted states look deceptively cheap; an
+        already-inverted element only has to improve its det)."""
+        e_a = reg_energy(z_flat, xi, dxpu, cells)
+        return jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(e_a), e_a <= e0),
+            edet_of(z_flat) > det_floor,
+        )
+
+    batched_trial = jax.vmap(trial_ok)
+
+    def batched_iter(zc, xi, dxpuf, freef, cells):
+        """One safeguarded-Newton sweep over the whole batch.
+
+        Fast path: the full Newton step is tried for every element; the
+        4 backtracking trials only execute (as a real runtime branch) when
+        some element rejects it — rare outside the early transient, so the
+        common iteration costs one grad+Jacobian and ONE energy eval."""
+        p, gnorm, e0 = batched_dir(zc, xi, dxpuf, freef, cells)
+        det0 = jax.vmap(edet_of)(zc)
         det_floor = jnp.minimum(det0, 0.0)
-        alpha = jnp.zeros((), dtype=z_flat.dtype)
-        for a in reversed(_ALPHAS[:-1]):  # evaluate small->large; last wins
-            z_a = z_flat + a * p
-            e_a = reg_energy(z_a, xi, dxpu, cells)
-            ok = jnp.logical_and(
-                jnp.logical_and(jnp.isfinite(e_a), e_a <= e0),
-                edet_of(z_a) > det_floor,
-            )
-            alpha = jnp.where(ok, a, alpha)
+        ok1 = batched_trial(zc + p, xi, dxpuf, cells, e0, det_floor)
+
+        def fast(_):
+            return jnp.where(ok1, 1.0, 0.0).astype(zc.dtype)
+
+        def slow(_):
+            alpha = jnp.zeros(zc.shape[0], dtype=zc.dtype)
+            for a in reversed(_ALPHAS[1:-1]):  # 0.5 .. 0.0625, small->large
+                ok = batched_trial(
+                    zc + a * p, xi, dxpuf, cells, e0, det_floor
+                )
+                alpha = jnp.where(ok, a, alpha)
+            return jnp.where(ok1, 1.0, alpha).astype(zc.dtype)
+
+        alpha = jax.lax.cond(jnp.all(ok1), fast, slow, None)
+
         # stalled = accepted step is below the dtype's resolution at z —
         # no further progress is representable, so the element can retire
         # (keeps f32 from burning all 50 iterations at its noise floor)
-        eps = jnp.asarray(
-            10.0 * jnp.finfo(z_flat.dtype).eps, dtype=z_flat.dtype
-        )
-        step_inf = alpha * jnp.max(jnp.abs(p))
-        stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(z_flat)))
-        return z_flat + alpha * p, gnorm, stalled
-
-    batched_iter = jax.vmap(element_iter)
+        eps = 10.0 * jnp.finfo(zc.dtype).eps
+        step_inf = alpha * jnp.max(jnp.abs(p), axis=1)
+        stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(zc), axis=1))
+        return zc + alpha[:, None] * p, gnorm, stalled
 
     def prox(z, xi, dxpu, free_mask, tol, max_iters):
         """z, dxpu, free_mask: [NF, D+1, D]; xi: [NF, D+1, D] (dummy when
