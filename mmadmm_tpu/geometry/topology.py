@@ -71,6 +71,29 @@ def sorted_scatter_plan(F: np.ndarray, n_pnts: int):
     return perm, seg_ids
 
 
+def dense_scatter_plan(F: np.ndarray, n_pnts: int):
+    """Degree-padded gather plan for ``D^T`` application.
+
+    Returns ``(idx [NP, K] int32, K)`` where row p lists the flat
+    element-slot positions (into ``[NF*(D+1)]``) referencing node p, padded
+    with ``NF*(D+1)`` (a zero row appended by the caller). ``D^T y`` is then
+    ``y_padded[idx].sum(axis=1)`` — one gather + a VPU reduction instead of
+    a scatter instruction (TPU scatters are ~3x slower at production
+    sizes)."""
+    flat = F.ravel()
+    order = np.argsort(flat, kind="stable")
+    seg = flat[order]
+    counts = np.bincount(flat, minlength=n_pnts)
+    K = int(counts.max()) if counts.size else 0
+    idx = np.full((n_pnts, K), flat.size, dtype=np.int32)  # padding index
+    # rank of each entry within its node run
+    starts = np.zeros(n_pnts + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    ranks = np.arange(flat.size) - starts[seg]
+    idx[seg, ranks] = order.astype(np.int32)
+    return idx, K
+
+
 def build_boundary_faces(F: np.ndarray, mask: np.ndarray):
     """Boundary faces: elements with exactly D non-INTERIOR vertices
     contribute the face of those vertices (``Mesh.cpp:73-104``).

