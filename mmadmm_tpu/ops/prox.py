@@ -97,24 +97,33 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
         zm = zf.reshape(dim + 1, dim)
         return _det(jnp.swapaxes(zm[1:] - zm[0], 0, 1))
 
-    def newton_dir(z_flat, xi, dxpu, free, cells):
-        """Newton direction + gradient norm + line-search reference energy
-        for one element. free: [n] 0/1."""
-        g, e0 = grad_fn_with_ih(z_flat, xi, dxpu, cells)
-        g = g * free
-        gnorm = jnp.sum(jnp.abs(g))
+    def masked_jac(z_flat, xi, dxpu, free, cells):
+        """Gradient Jacobian with fixed coords replaced by identity."""
         J = jac_fn(z_flat, xi, dxpu, cells)
         # mask fixed coords: J' = M J M + (I - M)
         J = J * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-        J = J + _LEVENBERG * jnp.eye(n, dtype=z_flat.dtype)
-        # unrolled LDL^T (pure VPU; TPU has no f64 batched-LU kernel)
+        return J + _LEVENBERG * jnp.eye(n, dtype=z_flat.dtype)
+
+    batched_jac = jax.vmap(masked_jac)
+
+    def solve_dir(J, g):
+        """Safeguarded solve: unrolled LDL^T (pure VPU; TPU has no f64
+        batched-LU kernel), damped-gradient fallback on failure."""
         p = ldlt_solve(J, -g)
-        # fall back to a damped gradient step if the solve failed
         bad = ~jnp.all(jnp.isfinite(p))
-        p = jnp.where(bad, -g / (w * w), p)
-        return p, gnorm, e0
+        return jnp.where(bad, -g / (w * w), p)
+
+    def newton_dir(z_flat, xi, dxpu, free, cells, J):
+        """Newton direction from a (possibly stale, chord-method) Jacobian
+        + gradient + line-search reference energy for one element.
+        free: [n] 0/1."""
+        g, e0 = grad_fn_with_ih(z_flat, xi, dxpu, cells)
+        g = g * free
+        gnorm = jnp.sum(jnp.abs(g))
+        return solve_dir(J, g), g, gnorm, e0
 
     batched_dir = jax.vmap(newton_dir)
+    batched_solve = jax.vmap(solve_dir)
 
     def trial_ok(z_flat, xi, dxpu, cells, e0, det_floor):
         """Accept test for one candidate point: finite, non-increasing
@@ -129,39 +138,54 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
 
     batched_trial = jax.vmap(trial_ok)
 
-    def batched_iter(zc, xi, dxpuf, freef, cells):
+    def batched_iter(zc, xi, dxpuf, freef, cells, J):
         """One safeguarded-Newton sweep over the whole batch.
 
-        Fast path: the full Newton step is tried for every element; the
-        4 backtracking trials only execute (as a real runtime branch) when
-        some element rejects it — rare outside the early transient, so the
-        common iteration costs one grad+Jacobian and ONE energy eval."""
-        p, gnorm, e0 = batched_dir(zc, xi, dxpuf, freef, cells)
+        Chord + refresh: ``J`` is the Jacobian from prox entry (the
+        reference reuses a once-per-RUN FD Hessian with BFGS updates,
+        Mesh.cpp:793-817 — ours is far fresher). The full chord step is
+        tried for every element; only when some element rejects it does the
+        slow branch run — which REFRESHES the Jacobian, re-solves, and
+        backtracks. So the common iteration costs one gradient and ONE
+        energy eval, and stale-J stagnation in the heavy transient is
+        avoided."""
+        p, g, gnorm, e0 = batched_dir(zc, xi, dxpuf, freef, cells, J)
         det0 = jax.vmap(edet_of)(zc)
         det_floor = jnp.minimum(det0, 0.0)
         ok1 = batched_trial(zc + p, xi, dxpuf, cells, e0, det_floor)
 
         def fast(_):
-            return jnp.where(ok1, 1.0, 0.0).astype(zc.dtype)
+            alpha = jnp.ones(zc.shape[0], dtype=zc.dtype)
+            return alpha, p, J
 
         def slow(_):
-            alpha = jnp.zeros(zc.shape[0], dtype=zc.dtype)
-            for a in reversed(_ALPHAS[1:-1]):  # 0.5 .. 0.0625, small->large
+            # Per-element semantics (shard-grouping invariant): an element
+            # whose chord step was accepted keeps it (and its stale J); a
+            # rejected element gets a REFRESHED Jacobian, a re-solve, and
+            # the backtracking schedule. The batch-level cond only decides
+            # whether this extra work executes at all.
+            J2 = batched_jac(zc, xi, dxpuf, freef, cells)
+            p2 = batched_solve(J2, g)
+            alpha_bt = jnp.zeros(zc.shape[0], dtype=zc.dtype)
+            for a in reversed(_ALPHAS[:-1]):  # 1.0 .. 0.0625, small->large
                 ok = batched_trial(
-                    zc + a * p, xi, dxpuf, cells, e0, det_floor
+                    zc + a * p2, xi, dxpuf, cells, e0, det_floor
                 )
-                alpha = jnp.where(ok, a, alpha)
-            return jnp.where(ok1, 1.0, alpha).astype(zc.dtype)
+                alpha_bt = jnp.where(ok, a, alpha_bt)
+            alpha = jnp.where(ok1, 1.0, alpha_bt).astype(zc.dtype)
+            p_used = jnp.where(ok1[:, None], p, p2)
+            J_keep = jnp.where(ok1[:, None, None], J, J2)
+            return alpha, p_used, J_keep
 
-        alpha = jax.lax.cond(jnp.all(ok1), fast, slow, None)
+        alpha, p_used, J = jax.lax.cond(jnp.all(ok1), fast, slow, None)
 
         # stalled = accepted step is below the dtype's resolution at z —
         # no further progress is representable, so the element can retire
         # (keeps f32 from burning all 50 iterations at its noise floor)
         eps = 10.0 * jnp.finfo(zc.dtype).eps
-        step_inf = alpha * jnp.max(jnp.abs(p), axis=1)
+        step_inf = alpha * jnp.max(jnp.abs(p_used), axis=1)
         stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(zc), axis=1))
-        return zc + alpha[:, None] * p, gnorm, stalled
+        return zc + alpha[:, None] * p_used, gnorm, stalled, J
 
     def prox(z, xi, dxpu, free_mask, tol, max_iters):
         """z, dxpu, free_mask: [NF, D+1, D]; xi: [NF, D+1, D] (dummy when
@@ -173,14 +197,17 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
 
         cells = gather_cells(z)  # frozen for the whole solve
         ih0 = batched_energy(zf, xi, cells)
+        J = batched_jac(zf, xi, dxpuf, freef, cells)  # chord: entry Jacobian
 
         def cond(carry):
-            it, _, active = carry
+            it, _, active, _ = carry
             return jnp.logical_and(it < max_iters, jnp.any(active))
 
         def body(carry):
-            it, zc, active = carry
-            znew, gnorm, stalled = batched_iter(zc, xi, dxpuf, freef, cells)
+            it, zc, active, Jc = carry
+            znew, gnorm, stalled, Jc = batched_iter(
+                zc, xi, dxpuf, freef, cells, Jc
+            )
             # an element retires once the gradient at its current point is
             # below tol — but only from the second visit on (the reference
             # always takes at least one step, Mesh.cpp:827-833); or when the
@@ -189,10 +216,10 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
             active = jnp.logical_and(active, ~retire)
             zc = jnp.where(active[:, None], znew, zc)
             active = jnp.logical_and(active, ~stalled)
-            return it + 1, zc, active
+            return it + 1, zc, active, Jc
 
         active0 = jnp.ones(nf, dtype=bool)
-        _, z_out, _ = jax.lax.while_loop(cond, body, (0, zf, active0))
+        _, z_out, _, _ = jax.lax.while_loop(cond, body, (0, zf, active0, J))
         return z_out.reshape(nf, dim + 1, dim), ih0
 
     return prox
