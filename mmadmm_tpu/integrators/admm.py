@@ -238,7 +238,10 @@ class ADMMIntegrator:
         prox_iters = self.prox_max_iters
         n_pnts = mesh.n_pnts
 
-        def local_step(state, F_l, xi_l, free_l, valid_l, perm_l, seg_l):
+        use_dense = shards.dense_idx is not None
+
+        def local_step(state, F_l, xi_l, free_l, valid_l, perm_l, seg_l,
+                       dense_l):
             x, x_prev, u_bar_l, steps = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
@@ -246,10 +249,17 @@ class ADMMIntegrator:
 
             def scatter(vals_l):
                 flat = (vals_l * valid_e).reshape(L * dp1, dim)
-                part = jax.ops.segment_sum(
-                    flat[perm_l], seg_l, num_segments=n_pnts,
-                    indices_are_sorted=True,
-                )
+                if use_dense:
+                    from ..ops.scatter import scatter_add_dense
+
+                    part = scatter_add_dense(
+                        flat.reshape(L, dp1, dim), dense_l.reshape(n_pnts, -1)
+                    )
+                else:
+                    part = jax.ops.segment_sum(
+                        flat[perm_l], seg_l, num_segments=n_pnts,
+                        indices_are_sorted=True,
+                    )
                 return jax.lax.psum(part, "elems")
 
             def gather(xv):
@@ -357,12 +367,18 @@ class ADMMIntegrator:
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()
         )
+        dense_arg = (
+            shards.dense_idx
+            if use_dense
+            else jnp.zeros((n_shards, 1, 1), jnp.int32)
+        )
         sharded = shard_map(
             local_step,
             mesh=dmesh,
             in_specs=(
                 state_specs, P("elems"), P("elems"), P("elems"),
                 P("elems"), P("elems", None), P("elems", None),
+                P("elems", None, None),
             ),
             out_specs=(state_specs, info_specs),
             check_vma=False,
@@ -372,7 +388,7 @@ class ADMMIntegrator:
         def step(state):
             return jitted(
                 state, shards.F, shards.xi, shards.elem_free,
-                shards.valid, shards.perm, shards.seg,
+                shards.valid, shards.perm, shards.seg, dense_arg,
             )
 
         return step

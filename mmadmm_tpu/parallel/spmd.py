@@ -29,6 +29,7 @@ class ElemShards(NamedTuple):
     valid: jax.Array  # [NFp] 1.0 for real elements, 0.0 for padding
     perm: jax.Array  # [S, L*(D+1)] int32, L = NFp // S
     seg: jax.Array  # [S, L*(D+1)] int32
+    dense_idx: jax.Array | None  # [S, NP, K] degree-padded plan (2D only)
 
     @property
     def n_shards(self) -> int:
@@ -108,6 +109,23 @@ def build_elem_shards(
         perms[s] = p
         segs[s] = flat[p]
 
+    # degree-padded per-shard gather plans (2D: K is small; 3D's K x NP x S
+    # table would be too large, segment_sum is used instead)
+    dense_idx = None
+    D = xi.shape[-1]
+    if D == 2:
+        from ..geometry.topology import dense_scatter_plan
+
+        plans = []
+        for s in range(n_shards):
+            idx, _ = dense_scatter_plan(F_o[s * L : (s + 1) * L], n_pnts)
+            plans.append(idx)
+        K = max(p.shape[1] for p in plans)
+        stacked = np.full((n_shards, n_pnts, K), L * dp1, dtype=np.int32)
+        for s, p in enumerate(plans):
+            stacked[s, :, : p.shape[1]] = p
+        dense_idx = jnp.asarray(stacked)
+
     return ElemShards(
         F=jnp.asarray(F_o.astype(np.int32)),
         xi=jnp.asarray(xi_o, dtype=dtype),
@@ -115,4 +133,5 @@ def build_elem_shards(
         valid=jnp.asarray(valid, dtype=dtype),
         perm=jnp.asarray(perms),
         seg=jnp.asarray(segs),
+        dense_idx=dense_idx,
     )
