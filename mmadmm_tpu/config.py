@@ -52,6 +52,11 @@ class ExperimentConfig:
 
     # --- framework extensions (not in the reference schema) ---
     name: str = "experiment"
+    # Directory FromFile paths resolve against. The reference's paths are
+    # relative to its repo root because mesh.exe runs from there
+    # (main.cpp:814-831, e.g. "./Experiments/Results/BaseCircle/...");
+    # load_experiment_config infers this from the config's location.
+    base_dir: str = "."
     dtype: str = "float64"  # compute dtype; reductions always float64
     prox_newton_iters: int = 50  # reference BFGS cap (Mesh.cpp:968)
     step_tol: float = 1e-3  # ADMM primal/dual tol (main.cpp:184)
@@ -113,4 +118,13 @@ def load_experiment_config(
         data = json.load(f)
     if name is None:
         name = os.path.splitext(os.path.basename(path))[0]
-    return ExperimentConfig.from_reference_json(data, name=name, method=method)
+    cfg = ExperimentConfig.from_reference_json(data, name=name, method=method)
+    # FromFile paths are relative to the repo root the config lives in:
+    # walk up from the config until a dir containing "Experiments" is found.
+    d = os.path.dirname(os.path.abspath(path))
+    while d != os.path.dirname(d):
+        if os.path.isdir(os.path.join(d, "Experiments")):
+            cfg.base_dir = d
+            break
+        d = os.path.dirname(d)
+    return cfg

@@ -28,9 +28,11 @@ from .monitors import get_monitor
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64}
 
 
-def build_geometry(cfg: ExperimentConfig, base_dir: str = "."):
+def build_geometry(cfg: ExperimentConfig, base_dir: str | None = None):
     """Return (X, F, mask, Xc) for the config's TestType
     (dispatch mirrors main.cpp:874-904)."""
+    if base_dir is None:
+        base_dir = cfg.base_dir
     btype = NodeType(cfg.boundary_node_type)
     if cfg.test_type == "SquareGrid":
         X, F, mask = generate_uniform_rect_mesh(
@@ -66,7 +68,7 @@ def build_geometry(cfg: ExperimentConfig, base_dir: str = "."):
     return X, F, mask, Xc
 
 
-def build_problem(cfg: ExperimentConfig, base_dir: str = "."):
+def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
     """Return (mesh, integrator) ready to run."""
     X, F, mask, Xc = build_geometry(cfg, base_dir)
     monitor = get_monitor(cfg.dim, cfg.mon_type)

@@ -76,3 +76,35 @@ def test_admm_3d_first_steps_match_reference():
     ref = ref_trace("3DMonitor110")
     np.testing.assert_allclose(ours[0], ref[0], rtol=5e-6)
     np.testing.assert_allclose(ours[1:4], ref[1:4], rtol=5e-6)
+
+
+def test_admm_monitor220_first_steps_match_reference():
+    ours = run_steps("Monitor220", 3)
+    ref = ref_trace("Monitor220")
+    np.testing.assert_allclose(ours[0], ref[0], rtol=5e-6)
+    np.testing.assert_allclose(ours[1:4], ref[1:4], rtol=5e-6)
+
+
+def test_admm_monitor320_fromfile_first_steps_match_reference():
+    # FromFile circle mesh (TrianglesFile paths relative to the reference
+    # repo root, main.cpp:814-831); slightly looser tol — the carved-circle
+    # node set amplifies monitor-interpolation rounding
+    ours = run_steps("Monitor320", 3)
+    ref = ref_trace("Monitor320")
+    np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-5)
+
+
+def test_admm_3dmonitor210_first_steps_match_reference():
+    ours = run_steps("3DMonitor210", 3)
+    ref = ref_trace("3DMonitor210")
+    np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
+
+
+def test_admm_3dmonitor310_initial_energy_matches_reference():
+    # trajectory deviates by design on this weakly-regularized (rho=10)
+    # config — our exact-Newton prox converges to LOWER energy than the
+    # reference's BFGS (COVERAGE.md, intentional deviations); the initial
+    # functional still must match
+    ours = run_steps("3DMonitor310", 1)
+    ref = ref_trace("3DMonitor310")
+    np.testing.assert_allclose(ours[0], ref[0], rtol=5e-6)
