@@ -78,6 +78,14 @@ def test_admm_3d_first_steps_match_reference():
     np.testing.assert_allclose(ours[1:4], ref[1:4], rtol=5e-6)
 
 
+def test_admm_monitor110_graduse_first_steps_match_reference():
+    # Monitor110 is the only GradUse=True config: the predictor always
+    # takes the explicit-Euler gradient step (Mesh::predictX, Mesh.cpp:655)
+    ours = run_steps("Monitor110", 3)
+    ref = ref_trace("Monitor110")
+    np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
+
+
 def test_admm_monitor220_first_steps_match_reference():
     ours = run_steps("Monitor220", 3)
     ref = ref_trace("Monitor220")
