@@ -37,10 +37,11 @@ def main() -> None:
 
     chunk = 8
     state = integ.init_state()
-    # compile both programs before timing (the reference's timer also
-    # excludes its build; main.cpp:176 starts after setup)
-    _s, _ = integ.step(state)
-    _s, _ = integ.multi_step(_s, chunk)
+    # compile the chunked-step program before timing (the reference's timer
+    # also excludes its build; main.cpp:176 starts after setup). Only
+    # multi_step is used in the timed loop — compiling integ.step too would
+    # double the (multi-minute, remote) TPU compile for nothing.
+    _s, _ = integ.multi_step(state, chunk)
     jax.block_until_ready(_s.x)
 
     state = integ.init_state()

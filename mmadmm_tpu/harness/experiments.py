@@ -88,6 +88,101 @@ def run_device_scaling(
     return results
 
 
+def make_config_json(
+    out_path: str,
+    *,
+    dim: int = 2,
+    test_type: str = "SquareGrid",
+    mon_type: int = 0,
+    comp_mesh: bool = False,
+    boundary_type: int = 1,
+    grad_use: bool = False,
+    n_steps: int = 1000,
+    admm_iter: int = 200,
+    dt_tol: float = 1e-5,
+    dt: float = 5e-3,
+    tau: float = 0.1,
+    rho: float = 50.0,
+    w: float = 0.0,
+    nx: int = 20,
+    ny: int | None = None,
+    nz: int | None = None,
+    bounds=(0.0, 1.0, 0.0, 1.0, 0.0, 1.0),
+    extra: dict | None = None,
+) -> str:
+    """Write a reference-schema experiment JSON (the analogue of the
+    reference's string templates + ``create_input_from_dict``,
+    ``experiments.py:36-88``). Returns ``out_path``."""
+    xa, xb, ya, yb, za, zb = bounds
+    data: dict = {
+        "TestType": test_type,
+        "Dim": dim,
+        "MonType": mon_type,
+        "Method": 0,
+        "CompMesh": comp_mesh,
+        "BoundaryType": boundary_type,
+        "GradUse": grad_use,
+        "nSteps": n_steps,
+        "AdmmIter": admm_iter,
+        "DtTol": dt_tol,
+        "dt": dt,
+        "tau": tau,
+        "rho": rho,
+        "w": w,
+        "nx": nx,
+        "ny": nx if ny is None else ny,
+        "xa": xa,
+        "xb": xb,
+        "ya": ya,
+        "yb": yb,
+    }
+    if dim == 3:
+        data.update({"nz": nx if nz is None else nz, "za": za, "zb": zb})
+    if extra:
+        data.update(extra)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=4)
+    return out_path
+
+
+def run_grid_scale(
+    input_dir: str,
+    test_name: str,
+    out_dir: str | None = None,
+    methods=(0, 1, 2),
+    **run_kw,
+) -> dict:
+    """Grid-size scale sweep: run every ``<test_name><n>.json`` under
+    ``input_dir`` (sorted by n) for each method, recording wall times — the
+    reference's ``run_scale_experiment`` (``experiments.py:503-541``, which
+    globs InputFiles and dumps ``Data/<name>/Single<cfg>.json``)."""
+    import glob as _glob
+    import re as _re
+
+    paths = []
+    for p in _glob.glob(os.path.join(input_dir, f"{test_name}*.json")):
+        m = _re.match(
+            rf"{_re.escape(test_name)}(\d+)\.json$", os.path.basename(p)
+        )
+        if m:
+            paths.append((int(m.group(1)), p))
+    results: dict = {"test_name": test_name, "configs": {}}
+    for n, p in sorted(paths):
+        comp = run_method_comparison(
+            p,
+            out_dir=os.path.join(out_dir, f"{test_name}{n}") if out_dir else None,
+            methods=methods,
+            **run_kw,
+        )
+        results["configs"][str(n)] = comp["methods"]
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"Scale{test_name}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
 def load_reference_trace(name: str, method: int = 0) -> np.ndarray:
     """Rows of (wall_s, Ih) from the shipped baseline artifacts."""
     path = os.path.join(REF_RESULTS, name, f"Ih{method}.txt")

@@ -61,7 +61,7 @@ class RunResult:
 def run_experiment(
     cfg: ExperimentConfig,
     out_dir: str | None = None,
-    base_dir: str = ".",
+    base_dir: str | None = None,
     step_chunk: int = 1,
     verbose: bool = False,
     checkpoint_every: int = 0,
