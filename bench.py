@@ -30,6 +30,9 @@ def main() -> None:
 
     from mmadmm_tpu.config import load_experiment_config
     from mmadmm_tpu.problems import build_problem
+    from mmadmm_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = load_experiment_config(cfg_path)
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64-accurate

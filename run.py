@@ -41,6 +41,9 @@ def main(argv=None) -> int:
 
     from mmadmm_tpu.config import load_experiment_config
     from mmadmm_tpu.harness.runner import run_experiment
+    from mmadmm_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     path = args.input
     if not os.path.exists(path):
