@@ -78,8 +78,12 @@ class ADMMIntegrator:
         self._multi_cache: dict[int, Any] = {}
         if device_mesh is None:
             self.shards = None
-            self.step_fn = self._build_step()  # unjitted (for compile checks)
-            self._step = jax.jit(self.step_fn)
+            # step_fn(state, consts): the mesh arrays are call arguments,
+            # not closure constants (see _consts)
+            self.step_fn = self._build_step()
+            self._step_jit = jax.jit(self.step_fn)
+            self.consts = self._consts()
+            self._step = lambda s: self._step_jit(s, self.consts)
         else:
             self.shards = mesh.build_shards(device_mesh.devices.size)
             self._step = self._build_sharded_step()
@@ -108,39 +112,68 @@ class ADMMIntegrator:
         )
 
     # ------------------------------------------------------------------
+    def _consts(self):
+        """The mesh arrays the step program reads, as a pytree threaded
+        through jit as ARGUMENTS. Closing over them would embed them as HLO
+        constants — tens of MB at production sizes — which makes the
+        (remote) TPU compile time scale with the mesh instead of the
+        program."""
+        mesh = self.mesh
+        return dict(
+            F=mesh.F,
+            dense_idx=mesh.dense_idx,
+            xi=mesh.xi,
+            elem_free=mesh.elem_free,
+            deg=mesh.deg,
+            grid=mesh.grid,
+        )
+
     def _build_step(self):
+        from ..ops.scatter import gather_elements, scatter_add_dense
+
         mesh = self.mesh
         dt = self.dt
         tau = mesh.tau
         w = mesh.w
         dt2w2 = dt * dt * w * w
-        # diagonal of t = tau I + dt^2 w^2 D^T D (MeshIntegrator.cpp:51)
-        t_diag = tau + dt2w2 * mesh.deg  # [NP]
         tol = self.tol
         prox_tol = tol / 100.0  # Mesh.cpp:968
         n_iters = self.admm_iters
         prox_iters = self.prox_max_iters
+        prox_fn = mesh.prox_fn
+        energy_grad_e = mesh._energy_grad_e
 
-        def x_update(x_bar, z, u_bar):
-            # vec = tau x_bar + dt^2 w D^T (w (z - u_bar))
-            # (MeshIntegrator.cpp:137-139,159-160)
-            rhs = tau * x_bar + dt2w2 * mesh.scatter_add(z - u_bar)
-            return rhs / t_diag[:, None]
+        def step(state: ADMMState, c: dict):
+            # diagonal of t = tau I + dt^2 w^2 D^T D (MeshIntegrator.cpp:51)
+            t_diag = tau + dt2w2 * c["deg"]  # [NP]
 
-        def predictor(x, x_prev, steps):
-            # Mesh::predictX (Mesh.cpp:650-674)
-            def euler(_):
-                _, g = mesh.gradient(x, interior_only=False)
-                return x - (dt / tau) * g
+            def gather(xv):
+                return gather_elements(xv, c["F"])
 
-            def extrap(_):
-                return 2.0 * x - x_prev
+            def x_update(x_bar, z, u_bar):
+                # vec = tau x_bar + dt^2 w D^T (w (z - u_bar))
+                # (MeshIntegrator.cpp:137-139,159-160)
+                rhs = tau * x_bar + dt2w2 * scatter_add_dense(
+                    z - u_bar, c["dense_idx"]
+                )
+                return rhs / t_diag[:, None]
 
-            if self.grad_use:
-                return euler(None)
-            return jax.lax.cond(steps <= 2, euler, extrap, None)
+            def predictor(x, x_prev, steps):
+                # Mesh::predictX (Mesh.cpp:650-674)
+                def euler(_):
+                    ih_e, g_e = energy_grad_e(gather(x), c["xi"], c["grid"])
+                    g = scatter_add_dense(
+                        g_e * c["elem_free"], c["dense_idx"]
+                    )
+                    return x - (dt / tau) * g
 
-        def step(state: ADMMState):
+                def extrap(_):
+                    return 2.0 * x - x_prev
+
+                if self.grad_use:
+                    return euler(None)
+                return jax.lax.cond(steps <= 2, euler, extrap, None)
+
             x, x_prev, u_bar, steps = state
             x_bar = predictor(x, x_prev, steps)
 
@@ -149,8 +182,8 @@ class ADMMIntegrator:
             # z = D x (step 0: D x_prev); MeshIntegrator.cpp:121-127
             z = jax.lax.cond(
                 steps == 0,
-                lambda _: mesh.gather(x_prev),
-                lambda _: mesh.gather(x),
+                lambda _: gather(x_prev),
+                lambda _: gather(x),
                 None,
             )
             # uBar zeroed before the first prox ever (stepTaken flag)
@@ -169,14 +202,15 @@ class ADMMIntegrator:
                 i, _, x, gx, z, u_bar, ih_start, primal, dual = carry
                 dxpu = gx + u_bar
                 z_prev = z
-                z, ih0_e = mesh.prox(
-                    z, mesh.xi, dxpu, mesh.elem_free, prox_tol, prox_iters
+                z, ih0_e = prox_fn(
+                    c["grid"], z, c["xi"], dxpu, c["elem_free"],
+                    prox_tol, prox_iters,
                 )
                 ih_cur = block_sum_f64(ih0_e)
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_bar = dxpu - z
                 x = x_update(x_bar, z, u_bar)
-                gx = mesh.gather(x)
+                gx = gather(x)
                 primal = jnp.sqrt(block_sumsq_f64(gx - z))
                 dual = jnp.sqrt(block_sumsq_f64(z - z_prev))
                 done = jnp.logical_and(primal < tol, dual < tol)
@@ -186,7 +220,7 @@ class ADMMIntegrator:
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), bool),
                 x,
-                mesh.gather(x),
+                gather(x),
                 z,
                 u_bar,
                 jnp.zeros((), jnp.float64),
@@ -231,17 +265,21 @@ class ADMMIntegrator:
         tau = mesh.tau
         w = mesh.w
         dt2w2 = dt * dt * w * w
-        t_diag = tau + dt2w2 * mesh.deg  # [NP] replicated constant
         tol = self.tol
         prox_tol = tol / 100.0
         n_iters = self.admm_iters
         prox_iters = self.prox_max_iters
         n_pnts = mesh.n_pnts
+        prox_fn = mesh.prox_fn
 
         use_dense = shards.dense_idx is not None
 
         def local_step(state, F_l, xi_l, free_l, valid_l, perm_l, seg_l,
-                       dense_l):
+                       dense_l, grid, deg):
+            # replicated node-degree vector -> x-update diagonal
+            # (MeshIntegrator.cpp:51); computed in-graph from the threaded
+            # argument so no [NP] constant is embedded
+            t_diag = tau + dt2w2 * deg
             x, x_prev, u_bar_l, steps = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
@@ -282,7 +320,7 @@ class ADMMIntegrator:
                 from ..ops import huang
 
                 return huang.element_energy_grad(
-                    z, xi, mesh.grid, mesh.ehat, mesh.comp_mesh
+                    z, xi, grid, mesh.ehat, mesh.comp_mesh
                 )
 
             def predictor(x, x_prev, steps):
@@ -324,8 +362,8 @@ class ADMMIntegrator:
                 i, _, x, gx_l, z_l, u_l, ih_start, primal, dual = carry
                 dxpu_l = gx_l + u_l
                 z_prev_l = z_l
-                z_l, ih0_e = mesh.prox(
-                    z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
+                z_l, ih0_e = prox_fn(
+                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
                 )
                 ih_cur = jax.lax.psum(
                     block_sum_f64(ih0_e * valid_l), "elems"
@@ -378,18 +416,22 @@ class ADMMIntegrator:
             in_specs=(
                 state_specs, P("elems"), P("elems"), P("elems"),
                 P("elems"), P("elems", None), P("elems", None),
-                P("elems", None, None),
+                P("elems", None, None), P(), P(),
             ),
             out_specs=(state_specs, info_specs),
             check_vma=False,
         )
         jitted = jax.jit(sharded)
+        # unjitted fn + explicit args kept for multi_step's scan so shard
+        # arrays stay call arguments there too (never HLO constants)
+        self._sharded_fn = sharded
+        self._sharded_args = (
+            shards.F, shards.xi, shards.elem_free, shards.valid,
+            shards.perm, shards.seg, dense_arg, mesh.grid, mesh.deg,
+        )
 
         def step(state):
-            return jitted(
-                state, shards.F, shards.xi, shards.elem_free,
-                shards.valid, shards.perm, shards.seg, dense_arg,
-            )
+            return jitted(state, *self._sharded_args)
 
         return step
 
@@ -408,15 +450,29 @@ class ADMMIntegrator:
         """
         k = int(k)
         if k not in self._multi_cache:
-            step = self._step if self.shards is not None else self.step_fn
+            if self.shards is not None:
+                sharded_fn = self._sharded_fn
 
-            def body(carry, _):
-                s, info = step(carry)
-                return s, info
+                def scan_fn(s, *args):
+                    return jax.lax.scan(
+                        lambda carry, _: sharded_fn(carry, *args),
+                        s, None, length=k,
+                    )
 
-            self._multi_cache[k] = jax.jit(
-                lambda s: jax.lax.scan(body, s, None, length=k)
-            )
+                jitted = jax.jit(scan_fn)
+                self._multi_cache[k] = (
+                    lambda s: jitted(s, *self._sharded_args)
+                )
+            else:
+                step_fn = self.step_fn
+
+                def scan_fn(s, c):
+                    return jax.lax.scan(
+                        lambda carry, _: step_fn(carry, c), s, None, length=k
+                    )
+
+                jitted = jax.jit(scan_fn)
+                self._multi_cache[k] = lambda s: jitted(s, self.consts)
         return self._multi_cache[k](state)
 
     def energy(self, state: ADMMState) -> float:

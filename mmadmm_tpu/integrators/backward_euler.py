@@ -93,7 +93,7 @@ class BackwardEulerIntegrator:
             x, n_newton = newton_solve(x, xn)
             # the reference returns Ih from the LAST eulerStepMod inside the
             # Newton loop, i.e. the post-step energy (Mesh.cpp:1289,1340)
-            ih = mesh._energy_impl(x)
+            ih = mesh._energy_impl(x, mesh.F, mesh.xi, mesh.grid)
             return x, ih, n_newton
 
         self._step = jax.jit(step)

@@ -106,30 +106,35 @@ class MovingMesh:
             )
         self.xi = jnp.asarray(self._xi_np, dtype=dtype)
 
-        self.prox = make_prox_solver(
-            self.grid, self.ehat, self.comp_mesh, self.w, self.dim
+        # prox with the monitor grid threaded as a CALL-TIME argument —
+        # closed-over multi-MB arrays become HLO constants and blow up the
+        # (remote) TPU compile; integrators pass the grid explicitly.
+        self.prox_fn = make_prox_solver(
+            self.ehat, self.comp_mesh, self.w, self.dim
         )
 
-        # batched element functions (jitted: these are also inlined into the
-        # integrators' compiled step programs)
-        self._energy_e = jax.jit(
-            jax.vmap(
-                lambda z, xi: huang.element_energy(
-                    z, xi, self.grid, self.ehat, self.comp_mesh
-                )
-            )
+        # batched element functions; grid passed as an argument, not closed
+        # over, for the same compile-size reason
+        ehat, cm = self.ehat, self.comp_mesh
+        self._energy_e = jax.vmap(
+            lambda z, xi, grid: huang.element_energy(z, xi, grid, ehat, cm),
+            in_axes=(0, 0, None),
         )
-        self._energy_grad_e = jax.jit(
-            jax.vmap(
-                lambda z, xi: huang.element_energy_grad(
-                    z, xi, self.grid, self.ehat, self.comp_mesh
-                )
-            )
+        self._energy_grad_e = jax.vmap(
+            lambda z, xi, grid: huang.element_energy_grad(
+                z, xi, grid, ehat, cm
+            ),
+            in_axes=(0, 0, None),
         )
-        self.energy = jax.jit(self._energy_impl)
-        self.gradient = jax.jit(self._gradient_impl, static_argnums=1)
+        self._energy_jit = jax.jit(self._energy_impl)
+        self._gradient_jit = jax.jit(self._gradient_impl, static_argnums=5)
 
     # ------------------------------------------------------------------
+    def prox(self, z, xi, dxpu, free_mask, tol, max_iters):
+        """Convenience wrapper binding this mesh's grid (tests/small runs;
+        the integrators call ``prox_fn`` with the grid as a traced arg)."""
+        return self.prox_fn(self.grid, z, xi, dxpu, free_mask, tol, max_iters)
+
     def gather(self, x: jnp.ndarray) -> jnp.ndarray:
         """D x (Mesh::buildDMatrix semantics)."""
         return gather_elements(x, self.F)
@@ -138,13 +143,16 @@ class MovingMesh:
         """D^T y (degree-padded gather+sum — no TPU scatter instruction)."""
         return scatter_add_dense(vals, self.dense_idx)
 
-    def _energy_impl(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _energy_impl(self, x, F, xi, grid) -> jnp.ndarray:
         """Mesh::computeEnergy (Mesh.cpp:497-530): sum of element energies,
         accumulated in float64."""
-        e = self._energy_e(self.gather(x), self.xi)
+        e = self._energy_e(gather_elements(x, F), xi, grid)
         return block_sum_f64(e)
 
-    def _gradient_impl(self, x: jnp.ndarray, interior_only: bool):
+    def energy(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._energy_jit(x, self.F, self.xi, self.grid)
+
+    def _gradient_impl(self, x, F, xi, grid, masks, interior_only: bool):
         """(Ih, grad[NP, D]) — the assembled functional gradient.
 
         interior_only=False: the predictor path (``Mesh::eulerGrad``,
@@ -156,18 +164,26 @@ class MovingMesh:
         (``Mesh::eulerStepMod``, Mesh.cpp:533-579) — no per-element zeroing,
         scatter only to INTERIOR nodes.
         """
-        z = self.gather(x)
-        ih_e, g_e = self._energy_grad_e(z, self.xi)
+        elem_free, interior_nodes, dense_idx = masks
+        z = gather_elements(x, F)
+        ih_e, g_e = self._energy_grad_e(z, xi, grid)
         if interior_only:
-            g = self.scatter_add(g_e)
-            g = g * self.interior_nodes
+            g = scatter_add_dense(g_e, dense_idx)
+            g = g * interior_nodes
         else:
-            g = self.scatter_add(g_e * self.elem_free)
+            g = scatter_add_dense(g_e * elem_free, dense_idx)
         return block_sum_f64(ih_e), g
+
+    def gradient(self, x: jnp.ndarray, interior_only: bool):
+        return self._gradient_jit(
+            x, self.F, self.xi, self.grid,
+            (self.elem_free, self.interior_nodes, self.dense_idx),
+            interior_only,
+        )
 
     def energy_of_z(self, z: jnp.ndarray) -> jnp.ndarray:
         """Sum of unregularized element energies at element-stacked z."""
-        e = self._energy_e(z, self.xi)
+        e = self._energy_e(z, self.xi, self.grid)
         return block_sum_f64(e)
 
     def build_shards(self, n_shards: int):

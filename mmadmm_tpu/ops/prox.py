@@ -39,9 +39,15 @@ from .monitor_grid import gather_cell
 _LEVENBERG = 1e-9
 
 
-def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
-    """Returns ``prox(z, xi, dxpu, free_mask, tol, max_iters) -> (z', ih0)``
-    operating on the full element batch.
+def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
+    """Returns ``prox(grid, z, xi, dxpu, free_mask, tol, max_iters) ->
+    (z', ih0)`` operating on the full element batch.
+
+    ``grid`` (the MonitorGrid pytree) is a CALL-TIME argument, not a
+    factory closure: closed-over arrays are embedded as HLO *constants*,
+    and multi-MB constants (monitor grid + cell table at production mesh
+    sizes) make the remote TPU compile pathologically slow. Passing them
+    as parameters keeps the program size shape-independent.
 
     ``ih0`` is the per-element *unregularized* energy at the input z — the
     value the reference accumulates as the step functional
@@ -49,6 +55,11 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
     ``Mesh.cpp:791-792,968``).
     """
     n = dim * (dim + 1)
+    # `grid` below refers to the call-time argument; every helper that
+    # consumes it does so through frozen `cells`, so only gather_cells
+    # touches the grid tensors. The dummy passed to element_energy* is
+    # never read when cells is given (static branch in _common_terms).
+    grid = None
 
     def grad_fn(z_flat, xi, dxpu, cells):
         _, g = element_energy_grad(
@@ -78,7 +89,8 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
     batched_energy = jax.vmap(energy_fn)
     # frozen interpolation cells: one grid gather per vertex per prox CALL,
     # making every Newton iteration gather-free (monitor_grid.gather_cell)
-    gather_cells = jax.vmap(jax.vmap(lambda p: gather_cell(grid, p)))
+    gather_cells = jax.vmap(jax.vmap(gather_cell, in_axes=(None, 0)),
+                            in_axes=(None, 0))
 
     def reg_energy(z_flat, xi, dxpu, cells):
         return element_energy(
@@ -187,15 +199,16 @@ def make_prox_solver(grid, ehat_const, comp_mesh: bool, w: float, dim: int):
         stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(zc), axis=1))
         return zc + alpha[:, None] * p_used, gnorm, stalled, J
 
-    def prox(z, xi, dxpu, free_mask, tol, max_iters):
-        """z, dxpu, free_mask: [NF, D+1, D]; xi: [NF, D+1, D] (dummy when
-        not comp_mesh). Returns (z_opt [NF, D+1, D], ih0 [NF])."""
+    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters):
+        """grid: MonitorGrid (traced pytree); z, dxpu, free_mask:
+        [NF, D+1, D]; xi: [NF, D+1, D] (dummy when not comp_mesh).
+        Returns (z_opt [NF, D+1, D], ih0 [NF])."""
         nf = z.shape[0]
         zf = z.reshape(nf, n)
         dxpuf = dxpu.reshape(nf, n)
         freef = free_mask.reshape(nf, n)
 
-        cells = gather_cells(z)  # frozen for the whole solve
+        cells = gather_cells(grid, z)  # frozen for the whole solve
         ih0 = batched_energy(zf, xi, cells)
         J = batched_jac(zf, xi, dxpuf, freef, cells)  # chord: entry Jacobian
 
