@@ -51,58 +51,68 @@ class BackwardEulerIntegrator:
         dt_tau = self.dt / mesh.tau
         safety = 0.1  # SAFETY_FAC (Mesh.cpp:1268)
 
-        def grad_i(x):
-            _, g = mesh.gradient(x, interior_only=True)
-            return g
+        # mesh arrays threaded as call arguments (not closure constants —
+        # same compile-size rationale as ADMMIntegrator._consts)
+        self._args = (
+            mesh.F, mesh.xi, mesh.grid,
+            (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+        )
 
-        def residual(x, xn):
-            return dt_tau * grad_i(x) + (x - xn)
+        def step(x, F, xi, grid, masks):
+            def grad_i(xv):
+                _, g = mesh._gradient_impl(xv, F, xi, grid, masks, True)
+                return g
 
-        def newton_solve(x, xn):
-            def cond(carry):
-                it, x, gnorm, gnorm_prev = carry
-                return jnp.logical_and(it < self.max_newton, gnorm >= safety * self.tol)
+            def residual(xv, xn):
+                return dt_tau * grad_i(xv) + (xv - xn)
 
-            def body(carry):
-                it, x, _, _ = carry
-                F = residual(x, xn)
-                gnorm = block_sum_f64(jnp.abs(F))
+            def newton_solve(xv, xn):
+                def cond(carry):
+                    it, _, gnorm, _ = carry
+                    return jnp.logical_and(
+                        it < self.max_newton, gnorm >= safety * self.tol
+                    )
 
-                def jvp(v):
-                    return jax.jvp(lambda y: residual(y, xn), (x,), (v,))[1]
+                def body(carry):
+                    it, xv, _, _ = carry
+                    Fv = residual(xv, xn)
+                    gnorm = block_sum_f64(jnp.abs(Fv))
 
-                dx, _ = jax.scipy.sparse.linalg.bicgstab(
-                    jvp, -F, tol=krylov_tol, maxiter=krylov_maxiter
+                    def jvp(v):
+                        return jax.jvp(
+                            lambda y: residual(y, xn), (xv,), (v,)
+                        )[1]
+
+                    dx, _ = jax.scipy.sparse.linalg.bicgstab(
+                        jvp, -Fv, tol=krylov_tol, maxiter=krylov_maxiter
+                    )
+                    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
+                    xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
+                    return it + 1, xv, gnorm, gnorm
+
+                F0 = residual(xv, xn)
+                g0 = block_sum_f64(jnp.abs(F0))
+                it, xv, _, _ = jax.lax.while_loop(
+                    cond, body, (jnp.zeros((), jnp.int32), xv, g0, jnp.inf)
                 )
-                dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -F)
-                x = jnp.where(gnorm >= safety * self.tol, x + dx, x)
-                return it + 1, x, gnorm, gnorm
+                return xv, it
 
-            F0 = residual(x, xn)
-            g0 = block_sum_f64(jnp.abs(F0))
-            it, x, _, _ = jax.lax.while_loop(
-                cond, body, (jnp.zeros((), jnp.int32), x, g0, jnp.inf)
-            )
-            return x, it
-
-        def step(x):
             xn = x
             # initial guess: one explicit Euler step (Mesh.cpp:1271-1273)
-            _, g = mesh.gradient(x, interior_only=True)
-            x = x - dt_tau * g
+            x = x - dt_tau * grad_i(x)
             x, n_newton = newton_solve(x, xn)
             # the reference returns Ih from the LAST eulerStepMod inside the
             # Newton loop, i.e. the post-step energy (Mesh.cpp:1289,1340)
-            ih = mesh._energy_impl(x, mesh.F, mesh.xi, mesh.grid)
+            ih = mesh._energy_impl(x, F, xi, grid)
             return x, ih, n_newton
 
-        self._step = jax.jit(step)
+        self._step_jit = jax.jit(step)
 
     def init_state(self) -> BackwardEulerState:
         return BackwardEulerState(x=self.mesh.X0)
 
     def step(self, state: BackwardEulerState):
-        x, ih, n_newton = self._step(state.x)
+        x, ih, n_newton = self._step_jit(state.x, *self._args)
         return BackwardEulerState(x=x), float(ih)
 
     def energy(self, state: BackwardEulerState) -> float:

@@ -24,18 +24,25 @@ class EulerIntegrator:
     def __init__(self, mesh: MovingMesh, dt: float):
         self.mesh = mesh
         self.dt = float(dt)
+        dt_tau = self.dt / mesh.tau
 
-        def step(x):
-            ih, g = mesh.gradient(x, interior_only=True)
-            return x - (self.dt / mesh.tau) * g, ih
+        # mesh arrays are call arguments, not closure constants (same
+        # compile-size rationale as ADMMIntegrator._consts)
+        def step(x, F, xi, grid, masks):
+            ih, g = mesh._gradient_impl(x, F, xi, grid, masks, True)
+            return x - dt_tau * g, ih
 
-        self._step = jax.jit(step)
+        self._step_jit = jax.jit(step)
+        self._args = (
+            mesh.F, mesh.xi, mesh.grid,
+            (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+        )
 
     def init_state(self) -> EulerState:
         return EulerState(x=self.mesh.X0)
 
     def step(self, state: EulerState):
-        x, ih = self._step(state.x)
+        x, ih = self._step_jit(state.x, *self._args)
         return EulerState(x=x), float(ih)
 
     def energy(self, state: EulerState) -> float:
