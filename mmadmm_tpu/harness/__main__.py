@@ -21,6 +21,7 @@ run_one()                  -- run a single config (any method)
 run_method_comparison()    -- methods 0/1/2 on one config (Single*.json)
 run_device_scaling()       -- device-mesh sweep (Para*.json analogue)
 run_grid_scale()           -- grid-size sweep over <name><n>.json configs
+run_simultaneous_experiment() -- matched size/shard sweep (Simul*.json)
 compare_to_reference()     -- parity report vs a shipped Ih<m>.txt trace
 create_input()             -- write a reference-schema config JSON
 exit()
@@ -69,6 +70,17 @@ def run_grid_scale():
     exps.run_grid_scale(input_dir, name, out_dir=f"Results/{name}")
 
 
+def run_simultaneous_experiment():
+    name = input("test name (config prefix) = ")
+    input_dir = input(f"input dir (default {REF_INPUTS}) = ") or REF_INPUTS
+    out = exps.run_simultaneous_experiment(
+        input_dir, name, out_dir=f"Results/{name}"
+    )
+    for cfg, rec in out["configs"].items():
+        for key, times in rec.items():
+            print(f"{cfg} {key}: mean {sum(times)/len(times):.2f}s")
+
+
 def compare_to_reference():
     name = input("config name = ")
     method = int(input("method (0 1 2) = ") or "0")
@@ -95,6 +107,7 @@ def main():
         "run_method_comparison()": run_method_comparison,
         "run_device_scaling()": run_device_scaling,
         "run_grid_scale()": run_grid_scale,
+        "run_simultaneous_experiment()": run_simultaneous_experiment,
         "compare_to_reference()": compare_to_reference,
         "create_input()": create_input,
     }

@@ -51,6 +51,7 @@ def run_method_comparison(
             "times": times,
             "final_ih": finals[-1],
             "n_steps": steps[-1],
+            "n_elements": res.n_elements,
         }
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -180,6 +181,51 @@ def run_grid_scale(
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, f"Scale{test_name}.json"), "w") as f:
             json.dump(results, f, indent=2)
+    return results
+
+
+def run_simultaneous_experiment(
+    input_dir: str,
+    test_name: str,
+    out_dir: str | None = None,
+    n_repeats: int = 3,
+    highest_pow: int = 5,
+    **run_kw,
+) -> dict:
+    """Matched size/parallelism sweep (``run_simultaneous_experiment``,
+    ``experiments.py:470-501``): the i-th config ``<test_name><n>.json``
+    (sorted by n) runs ADMM with 2^i shards, ``n_repeats`` times — the
+    reference paired growing grids with growing OpenMP thread counts (a
+    weak-scaling-style timing). Dumps one ``Simul<cfg>.json`` per config
+    with the reference's ``{"(i, pow)": [times...]}`` shape."""
+    import glob as _glob
+    import re as _re
+
+    paths = []
+    for p in _glob.glob(os.path.join(input_dir, f"{test_name}*.json")):
+        m = _re.match(
+            rf"{_re.escape(test_name)}(\d+)\.json$", os.path.basename(p)
+        )
+        if m:
+            paths.append((int(m.group(1)), p))
+    pows = [2**i for i in range(highest_pow + 1)]
+    results: dict = {"test_name": test_name, "configs": {}}
+    for i, (n, p) in enumerate(sorted(paths)):
+        nd = pows[min(i, highest_pow)]
+        times = []
+        for _ in range(n_repeats):
+            cfg = load_experiment_config(p)
+            cfg.n_devices = nd
+            res = run_experiment(cfg, out_dir=None, **run_kw)
+            times.append(res.loop_time)
+        key = f"({i}, {nd})"
+        results["configs"][f"{test_name}{n}"] = {key: times}
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(
+                os.path.join(out_dir, f"Simul{test_name}{n}.json"), "w"
+            ) as f:
+                json.dump({key: times}, f)
     return results
 
 

@@ -120,6 +120,38 @@ def plot_monitor_contour(grid_values, out_path: str, entry=0,
     return out_path
 
 
+def plot_time_vs_simplices(scale_results: dict, out_path: str,
+                           title: str | None = None):
+    """Wall time vs problem size, one curve per method — the reference's
+    ``plot_single_thread_increase`` (experiments.py:543-606, log-log time
+    vs #simplices). ``scale_results`` is ``run_grid_scale`` output
+    (configs -> method -> {mean_time, n_elements})."""
+    plt = _plt()
+    method_names = {"0": "ADMM", "1": "Euler", "2": "backward Euler"}
+    fig, ax = plt.subplots(figsize=(6, 4))
+    cfgs = scale_results["configs"]
+    methods = sorted({m for per_cfg in cfgs.values() for m in per_cfg})
+    for m in methods:
+        pts = sorted(
+            (per_cfg[m]["n_elements"], per_cfg[m]["mean_time"])
+            for per_cfg in cfgs.values()
+            if m in per_cfg and per_cfg[m].get("n_elements")
+        )
+        if pts:
+            ax.plot(*zip(*pts), "o-", label=method_names.get(m, m))
+    ax.set_xlabel("number of simplices")
+    ax.set_ylabel("wall time (s)")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_scaling(scaling: dict, out_path: str, title: str | None = None):
     """Device-scaling curve (create_parallel_plot, experiments.py:285-433)."""
     plt = _plt()

@@ -43,6 +43,7 @@ class RunResult:
     compile_time: float = 0.0
     loop_time: float = 0.0
     final_ih: float = float("nan")
+    n_elements: int = 0
 
     def summary(self) -> dict:
         return {
@@ -76,6 +77,7 @@ def run_experiment(
     mesh, integ = build_problem(cfg, base_dir)
     state = integ.init_state()
     res.setup_time = time.perf_counter() - t0
+    res.n_elements = int(mesh.n_elements)
 
     # first-call compile (counted separately, like the reference's setup
     # timers vs the per-step wall clock)

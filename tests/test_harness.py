@@ -70,6 +70,39 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     assert float(i1.ih_start) == float(i2.ih_start)
 
 
+def test_simultaneous_sweep_and_size_plot(tmp_path):
+    """run_simultaneous_experiment pairs sorted configs with 2^i shards and
+    writes Simul*.json (experiments.py:470-501); run_grid_scale records
+    n_elements so the time-vs-simplices plot (plot_single_thread_increase
+    analogue) can render."""
+    from mmadmm_tpu.harness import experiments as exps
+
+    in_dir = str(tmp_path / "inputs")
+    for n in (4, 6):
+        exps.make_config_json(
+            os.path.join(in_dir, f"Tiny{n}.json"),
+            mon_type=1, n_steps=2, dt=5e-3, nx=n, dt_tol=1e-12,
+        )
+    out = exps.run_simultaneous_experiment(
+        in_dir, "Tiny", out_dir=str(tmp_path / "data"), n_repeats=1
+    )
+    assert set(out["configs"]) == {"Tiny4", "Tiny6"}
+    # i-th config runs with 2^i shards
+    assert list(out["configs"]["Tiny4"]) == ["(0, 1)"]
+    assert list(out["configs"]["Tiny6"]) == ["(1, 2)"]
+    with open(tmp_path / "data" / "SimulTiny6.json") as f:
+        rec = json.load(f)
+    assert len(rec["(1, 2)"]) == 1
+
+    scale = exps.run_grid_scale(in_dir, "Tiny", methods=(0,))
+    assert scale["configs"]["4"]["0"]["n_elements"] == 4 * 4 * 4
+    pytest.importorskip("matplotlib")
+    from mmadmm_tpu.harness.plotting import plot_time_vs_simplices
+
+    p = plot_time_vs_simplices(scale, str(tmp_path / "sz.png"))
+    assert os.path.getsize(p) > 0
+
+
 def test_plots_render(tmp_path):
     pytest.importorskip("matplotlib")
     from mmadmm_tpu.geometry.node_type import NodeType
