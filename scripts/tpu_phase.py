@@ -47,16 +47,28 @@ def timeit(label, fn, *args, n=20):
 
 
 timeit("gather x[F]", lambda xv: mesh.gather(xv), x)
-timeit("scatter_add (segment_sum)", lambda v: mesh.scatter_add(v), z)
+timeit("scatter_add (dense plan)", lambda v: mesh.scatter_add(v), z)
 timeit("f64 elem-energy sum", lambda zz: mesh.energy_of_z(zz), z)
-timeit("energy+grad batch (no scatter)", lambda zz: mesh._energy_grad_e(zz, mesh.xi), z)
-timeit("full gradient (grad+scatter)", lambda xv: mesh.gradient(xv, False), x)
+timeit(
+    "energy+grad batch (no scatter)",
+    lambda zz: mesh._energy_grad_e(zz, mesh.xi, mesh.grid),
+    z,
+)
+timeit(
+    "full gradient (grad+scatter)",
+    lambda xv: mesh._gradient_impl(
+        xv, mesh.F, mesh.xi, mesh.grid,
+        (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx), False,
+    ),
+    x,
+)
 for k in (1, 5, 50):
     timeit(
         f"prox max_iters={k}",
-        lambda zz, dd, kk=k: mesh.prox(
-            zz, mesh.xi, dd, mesh.elem_free, integ.tol / 100.0, kk
+        lambda gg, zz, dd, kk=k: mesh.prox_fn(
+            gg, zz, mesh.xi, dd, mesh.elem_free, integ.tol / 100.0, kk
         ),
+        mesh.grid,
         z,
         dxpu,
         n=5,
