@@ -20,6 +20,7 @@ Reference quirk preserved: the JSON ``w`` is overridden by
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -49,6 +50,7 @@ class MovingMesh:
         Xc: np.ndarray | None = None,
         dtype=jnp.float64,
         num_smooth: int | None = None,
+        prox_backend: str = "auto",
     ):
         X = np.asarray(X, dtype=np.float64)
         F = np.asarray(F, dtype=np.int32)
@@ -109,9 +111,25 @@ class MovingMesh:
         # prox with the monitor grid threaded as a CALL-TIME argument —
         # closed-over multi-MB arrays become HLO constants and blow up the
         # (remote) TPU compile; integrators pass the grid explicitly.
-        self.prox_fn = make_prox_solver(
-            self.ehat, self.comp_mesh, self.w, self.dim
-        )
+        if prox_backend == "auto":
+            prox_backend = os.environ.get("MMADMM_PROX", "vmap")
+        if prox_backend in ("pallas", "pallas_interpret"):
+            if dtype != jnp.float32:
+                raise ValueError(
+                    "prox_backend=pallas requires dtype=float32 "
+                    "(Mosaic has no f64); use the vmap backend for f64"
+                )
+            from .ops.prox_pallas import make_prox_pallas
+
+            self.prox_fn = make_prox_pallas(
+                self.ehat, self.comp_mesh, self.w, self.dim,
+                interpret=(prox_backend == "pallas_interpret"),
+            )
+        else:
+            self.prox_fn = make_prox_solver(
+                self.ehat, self.comp_mesh, self.w, self.dim
+            )
+        self.prox_backend = prox_backend
 
         # batched element functions; grid passed as an argument, not closed
         # over, for the same compile-size reason

@@ -38,22 +38,20 @@ from .monitor_grid import gather_cell
 
 _LEVENBERG = 1e-9
 
+# backtracking schedule: full Newton step, then halvings, then no move.
+# Newton accepts alpha=1 near the minimizer so the safeguard is free on
+# the hot path; it only engages for elements pushed toward inversion
+# (where the reference would hit its assert(Edet>0),
+# AdaptationFunctional.cpp:174 — we stay finite instead).
+_ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
 
-def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
-    """Returns ``prox(grid, z, xi, dxpu, free_mask, tol, max_iters) ->
-    (z', ih0)`` operating on the full element batch.
 
-    ``grid`` (the MonitorGrid pytree) is a CALL-TIME argument, not a
-    factory closure: closed-over arrays are embedded as HLO *constants*,
-    and multi-MB constants (monitor grid + cell table at production mesh
-    sizes) make the remote TPU compile pathologically slow. Passing them
-    as parameters keeps the program size shape-independent.
-
-    ``ih0`` is the per-element *unregularized* energy at the input z — the
-    value the reference accumulates as the step functional
-    (``bfgsOptSimplex`` returns Ihsave from the first evaluation,
-    ``Mesh.cpp:791-792,968``).
-    """
+def make_element_kernels(ehat_const, comp_mesh: bool, w: float, dim: int):
+    """Per-ELEMENT building blocks of the prox Newton solve, shared by the
+    vmapped solver (`make_prox_solver`) and the Pallas TPU kernel
+    (`ops.prox_pallas`). Every function here takes unbatched per-element
+    arguments; the two backends differ only in how they batch them
+    (leading-axis vmap vs trailing-lane SoA inside a kernel)."""
     n = dim * (dim + 1)
     # `grid` below refers to the call-time argument; every helper that
     # consumes it does so through frozen `cells`, so only gather_cells
@@ -86,24 +84,11 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
             cells=cells,
         )
 
-    batched_energy = jax.vmap(energy_fn)
-    # frozen interpolation cells: one grid gather per vertex per prox CALL,
-    # making every Newton iteration gather-free (monitor_grid.gather_cell)
-    gather_cells = jax.vmap(jax.vmap(gather_cell, in_axes=(None, 0)),
-                            in_axes=(None, 0))
-
     def reg_energy(z_flat, xi, dxpu, cells):
         return element_energy(
             z_flat.reshape(dim + 1, dim), xi, grid, ehat_const, comp_mesh,
             dxpu=dxpu.reshape(dim + 1, dim), w=w, cells=cells,
         )
-
-    # backtracking schedule: full Newton step, then halvings, then no move.
-    # Newton accepts alpha=1 near the minimizer so the safeguard is free on
-    # the hot path; it only engages for elements pushed toward inversion
-    # (where the reference would hit its assert(Edet>0),
-    # AdaptationFunctional.cpp:174 — we stay finite instead).
-    _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
 
     def edet_of(zf):
         zm = zf.reshape(dim + 1, dim)
@@ -115,8 +100,6 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
         # mask fixed coords: J' = M J M + (I - M)
         J = J * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         return J + _LEVENBERG * jnp.eye(n, dtype=z_flat.dtype)
-
-    batched_jac = jax.vmap(masked_jac)
 
     def solve_dir(J, g):
         """Safeguarded solve: unrolled LDL^T (pure VPU; TPU has no f64
@@ -134,9 +117,6 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
         gnorm = jnp.sum(jnp.abs(g))
         return solve_dir(J, g), g, gnorm, e0
 
-    batched_dir = jax.vmap(newton_dir)
-    batched_solve = jax.vmap(solve_dir)
-
     def trial_ok(z_flat, xi, dxpu, cells, e0, det_floor):
         """Accept test for one candidate point: finite, non-increasing
         regularized energy, and positively-oriented element (the det clamp
@@ -148,7 +128,50 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
             edet_of(z_flat) > det_floor,
         )
 
-    batched_trial = jax.vmap(trial_ok)
+    return dict(
+        n=n,
+        grad_fn=grad_fn,
+        grad_fn_with_ih=grad_fn_with_ih,
+        jac_fn=jac_fn,
+        energy_fn=energy_fn,
+        reg_energy=reg_energy,
+        edet_of=edet_of,
+        masked_jac=masked_jac,
+        solve_dir=solve_dir,
+        newton_dir=newton_dir,
+        trial_ok=trial_ok,
+    )
+
+
+def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
+    """Returns ``prox(grid, z, xi, dxpu, free_mask, tol, max_iters) ->
+    (z', ih0)`` operating on the full element batch (leading-axis vmap).
+
+    ``grid`` (the MonitorGrid pytree) is a CALL-TIME argument, not a
+    factory closure: closed-over arrays are embedded as HLO *constants*,
+    and multi-MB constants (monitor grid + cell table at production mesh
+    sizes) make the remote TPU compile pathologically slow. Passing them
+    as parameters keeps the program size shape-independent.
+
+    ``ih0`` is the per-element *unregularized* energy at the input z — the
+    value the reference accumulates as the step functional
+    (``bfgsOptSimplex`` returns Ihsave from the first evaluation,
+    ``Mesh.cpp:791-792,968``).
+    """
+    n = dim * (dim + 1)
+    k = make_element_kernels(ehat_const, comp_mesh, w, dim)
+    energy_fn = k["energy_fn"]
+    edet_of = k["edet_of"]
+
+    batched_energy = jax.vmap(energy_fn)
+    # frozen interpolation cells: one grid gather per vertex per prox CALL,
+    # making every Newton iteration gather-free (monitor_grid.gather_cell)
+    gather_cells = jax.vmap(jax.vmap(gather_cell, in_axes=(None, 0)),
+                            in_axes=(None, 0))
+    batched_jac = jax.vmap(k["masked_jac"])
+    batched_dir = jax.vmap(k["newton_dir"])
+    batched_solve = jax.vmap(k["solve_dir"])
+    batched_trial = jax.vmap(k["trial_ok"])
 
     def batched_iter(zc, xi, dxpuf, freef, cells, J):
         """One safeguarded-Newton sweep over the whole batch.

@@ -77,6 +77,7 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
         rho=cfg.rho, tau=cfg.tau,
         comp_mesh=cfg.comp_mesh, Xc=Xc if cfg.comp_mesh else None,
         dtype=_DTYPES[cfg.dtype],
+        prox_backend=cfg.prox_backend,
     )
     if cfg.method == 0:
         device_mesh = None

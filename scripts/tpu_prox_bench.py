@@ -1,0 +1,73 @@
+"""Prox backend shootout on the current backend: vmap vs Pallas kernel.
+
+Builds a production-size problem (default Monitor1320, 307k triangles),
+runs two steps to get a realistic mid-run state, then times one prox call
+(z-update) per backend at the ADMM settings. Uses the persistent compile
+cache, so run after bench.py has warmed the step program.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from mmadmm_tpu.config import load_experiment_config
+from mmadmm_tpu.problems import build_problem
+from mmadmm_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+name = sys.argv[1] if len(sys.argv) > 1 else "Monitor1320"
+cfg = load_experiment_config(
+    f"/root/reference/Experiments/InputFiles/{name}.json"
+)
+cfg.dtype = "float32"
+mesh, integ = build_problem(cfg)
+print(f"{name} NF={mesh.n_elements} NP={mesh.n_pnts}", flush=True)
+
+state = integ.init_state()
+state, _ = integ.step(state)
+state, _ = integ.step(state)
+jax.block_until_ready(state.x)
+z = mesh.gather(state.x)
+dxpu = z + state.u_bar
+tol = integ.tol / 100.0
+iters = integ.prox_max_iters
+
+from mmadmm_tpu.ops.prox_pallas import make_prox_pallas
+
+pp = make_prox_pallas(mesh.ehat, mesh.comp_mesh, mesh.w, mesh.dim)
+backends = {"vmap": mesh.prox_fn, "pallas": pp}
+
+for label, fn in backends.items():
+    f = jax.jit(fn, static_argnums=(5, 6))
+    t0 = time.perf_counter()
+    out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    z_out, ih0 = out
+    print(
+        f"{label:8s} compile+first={compile_s:7.2f}s "
+        f"steady={min(times)*1e3:8.2f} ms  ih0_sum={float(jnp.sum(ih0)):.8f}",
+        flush=True,
+    )
+    if label == "vmap":
+        z_ref, ih_ref = out
+
+import numpy as np
+
+print(
+    "max |z_pallas - z_vmap| =",
+    float(jnp.max(jnp.abs(z_out - z_ref))),
+    " max |ih diff| =",
+    float(jnp.max(jnp.abs(ih0 - ih_ref))),
+)
