@@ -29,8 +29,8 @@ mesh, integ = build_problem(cfg)
 print(f"{name} NF={mesh.n_elements} NP={mesh.n_pnts}", flush=True)
 
 state = integ.init_state()
-state, _ = integ.step(state)
-state, _ = integ.step(state)
+# chunked program is what bench.py compiles -> persistent-cache hit
+state, _ = integ.multi_step(state, 8)
 jax.block_until_ready(state.x)
 z = mesh.gather(state.x)
 dxpu = z + state.u_bar
