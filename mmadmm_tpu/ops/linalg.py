@@ -27,6 +27,9 @@ def ldlt_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     caller safeguards the step anyway.
     """
     n = A.shape[-1]
+    # dtype-typed floor: a bare Python float would be a weak-f64 scalar
+    # under x64, which Mosaic (Pallas TPU) refuses to materialize
+    floor = jnp.asarray(_DIAG_FLOOR, A.dtype)
     # factor: A = L D L^T  (L unit lower triangular, D diagonal)
     L = [[None] * n for _ in range(n)]
     D = [None] * n
@@ -34,7 +37,7 @@ def ldlt_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         d = A[j, j]
         for k in range(j):
             d = d - L[j][k] * L[j][k] * D[k]
-        d = jnp.where(jnp.abs(d) < _DIAG_FLOOR, _DIAG_FLOOR, d)
+        d = jnp.where(jnp.abs(d) < _DIAG_FLOOR, floor, d)
         D[j] = d
         for i in range(j + 1, n):
             s = A[i, j]

@@ -163,7 +163,8 @@ def _cell_index(w, axis):
     n_cells = axis.shape[0] - 1
     t = (w - axis[0]) / (axis[1] - axis[0])
     it = jnp.trunc(t).astype(jnp.int32)  # C (int) cast truncates toward 0
-    return jnp.where(it < 0, n_cells - 1, jnp.minimum(it, n_cells - 1))
+    last = jnp.int32(n_cells - 1)  # typed: weak-i64 scalars break Mosaic
+    return jnp.where(it < 0, last, jnp.minimum(it, last))
 
 
 def sample_monitor(grid: MonitorGrid, pnt: jnp.ndarray) -> jnp.ndarray:

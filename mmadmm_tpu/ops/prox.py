@@ -97,9 +97,14 @@ def make_element_kernels(ehat_const, comp_mesh: bool, w: float, dim: int):
     def masked_jac(z_flat, xi, dxpu, free, cells):
         """Gradient Jacobian with fixed coords replaced by identity."""
         J = jac_fn(z_flat, xi, dxpu, cells)
+        # identity built from 32-bit iota (jnp.eye/diag emit int64 iota
+        # under x64, which Mosaic rejects); same values
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        eye = (ii == jj).astype(z_flat.dtype)
         # mask fixed coords: J' = M J M + (I - M)
-        J = J * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-        return J + _LEVENBERG * jnp.eye(n, dtype=z_flat.dtype)
+        J = J * free[:, None] * free[None, :] + eye * (1.0 - free)
+        return J + _LEVENBERG * eye
 
     def solve_dir(J, g):
         """Safeguarded solve: unrolled LDL^T (pure VPU; TPU has no f64
@@ -202,12 +207,14 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
             J2 = batched_jac(zc, xi, dxpuf, freef, cells)
             p2 = batched_solve(J2, g)
             alpha_bt = jnp.zeros(zc.shape[0], dtype=zc.dtype)
+            one = jnp.asarray(1.0, zc.dtype)
             for a in reversed(_ALPHAS[:-1]):  # 1.0 .. 0.0625, small->large
                 ok = batched_trial(
                     zc + a * p2, xi, dxpuf, cells, e0, det_floor
                 )
-                alpha_bt = jnp.where(ok, a, alpha_bt)
-            alpha = jnp.where(ok1, 1.0, alpha_bt).astype(zc.dtype)
+                # dtype-typed alpha (weak-f64 scalar branches break Mosaic)
+                alpha_bt = jnp.where(ok, jnp.asarray(a, zc.dtype), alpha_bt)
+            alpha = jnp.where(ok1, one, alpha_bt)
             p_used = jnp.where(ok1[:, None], p, p2)
             J_keep = jnp.where(ok1[:, None, None], J, J2)
             return alpha, p_used, J_keep
@@ -255,7 +262,9 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
             return it + 1, zc, active, Jc
 
         active0 = jnp.ones(nf, dtype=bool)
-        _, z_out, _, _ = jax.lax.while_loop(cond, body, (0, zf, active0, J))
+        _, z_out, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), zf, active0, J)
+        )
         return z_out.reshape(nf, dim + 1, dim), ih0
 
     return prox

@@ -118,13 +118,19 @@ def make_prox_pallas(
                 alpha_bt = jnp.zeros((_SUB, _LANES), dtype=zc.dtype)
                 for a in reversed(_ALPHAS[:-1]):
                     ok = b_trial(zc + a * p2, xi, dxpu, cells, e0, det_floor)
-                    alpha_bt = jnp.where(ok, a, alpha_bt)
-                alpha = jnp.where(ok1, 1.0, alpha_bt).astype(zc.dtype)
+                    # dtype-typed alphas: weak-f64 scalars break Mosaic
+                    alpha_bt = jnp.where(
+                        ok, jnp.asarray(a, zc.dtype), alpha_bt
+                    )
+                alpha = jnp.where(ok1, jnp.asarray(1.0, zc.dtype), alpha_bt)
                 p_used = jnp.where(ok1[None], p, p2)
                 J_keep = jnp.where(ok1[None, None], J, J2)
                 return alpha, p_used, J_keep
 
-            alpha, p_used, J = jax.lax.cond(jnp.all(ok1), fast, slow, None)
+            # scalar predicates via f32 min/max: Mosaic can only squeeze
+            # 32-bit scalars, and bool reduce-to-scalar trips that check
+            all_ok1 = jnp.min(ok1.astype(jnp.float32)) > 0.5
+            alpha, p_used, J = jax.lax.cond(all_ok1, fast, slow, None)
 
             eps = 10.0 * jnp.finfo(zc.dtype).eps
             step_inf = alpha * jnp.max(jnp.abs(p_used), axis=0)
@@ -133,7 +139,8 @@ def make_prox_pallas(
 
         def cond(carry):
             it, _, active, _ = carry
-            return jnp.logical_and(it < max_iters, jnp.any(active))
+            any_active = jnp.max(active.astype(jnp.float32)) > 0.5
+            return jnp.logical_and(it < max_iters, any_active)
 
         def body(carry):
             it, zc, active, Jc = carry
@@ -145,7 +152,9 @@ def make_prox_pallas(
             return it + 1, zc, active, Jc
 
         active0 = jnp.ones((_SUB, _LANES), dtype=bool)
-        _, z_out, _, _ = jax.lax.while_loop(cond, body, (0, z0, active0, J0))
+        _, z_out, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), z0, active0, J0)
+        )
         zout_ref[:] = z_out
 
     def _to_tiles(a_flat, lead):
