@@ -22,16 +22,25 @@ import os
 import numpy as np
 
 
-def save_checkpoint(ckpt_dir: str, cfg, mesh, state, step: int) -> str:
+def save_checkpoint(
+    ckpt_dir: str, cfg, mesh, state, step: int, ih_prev: float | None = None
+) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step:06d}.npz")
     tmp = path + ".tmp"
     arrays = {
         "x": np.asarray(state.x, dtype=np.float64),
-        "steps": np.asarray(state.steps),
         "F": np.asarray(mesh._F_np),
         "mask": np.asarray(mesh.mask_np),
+        # outer-loop position + the DtTol comparator (main.cpp:200-208),
+        # so a resumed run continues the convergence test exactly
+        "step_i": np.asarray(step, dtype=np.int64),
+        "ih_prev": np.asarray(
+            float("inf") if ih_prev is None else ih_prev, dtype=np.float64
+        ),
     }
+    if hasattr(state, "steps"):
+        arrays["steps"] = np.asarray(state.steps)
     if hasattr(state, "x_prev"):
         arrays["x_prev"] = np.asarray(state.x_prev, dtype=np.float64)
     if hasattr(state, "u_bar"):
@@ -81,7 +90,16 @@ def resume_experiment(path: str, base_dir: str = "."):
         u = jnp.asarray(arrays["u_bar"], dtype=dtype)
         if u.shape == state.u_bar.shape:
             updates["u_bar"] = u
-    if hasattr(state, "steps"):
+    if hasattr(state, "steps") and "steps" in arrays:
         updates["steps"] = jnp.asarray(arrays["steps"])
     state = state._replace(**updates)
     return cfg, mesh, integ, state
+
+
+def checkpoint_meta(path: str) -> tuple[int, float]:
+    """(outer step index, Ih comparator) recorded at save time — old
+    checkpoints without them resume at step 0 with an inf comparator."""
+    with np.load(path, allow_pickle=False) as z:
+        step_i = int(z["step_i"]) if "step_i" in z.files else 0
+        ih_prev = float(z["ih_prev"]) if "ih_prev" in z.files else float("inf")
+    return step_i, ih_prev

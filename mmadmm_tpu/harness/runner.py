@@ -66,16 +66,29 @@ def run_experiment(
     step_chunk: int = 1,
     verbose: bool = False,
     checkpoint_every: int = 0,
+    resume_from: str | None = None,
 ) -> RunResult:
     """Build the problem and run it to convergence; optionally write the
-    reference-format artifacts into ``out_dir``."""
+    reference-format artifacts into ``out_dir``.
+
+    ``resume_from``: path to a ``harness.checkpoint`` file — the run picks
+    up that checkpoint's config, integrator state, outer step index, and
+    DtTol comparator instead of starting fresh."""
     import jax
 
-    res = RunResult(name=cfg.name, method=cfg.method)
-
     t0 = time.perf_counter()
-    mesh, integ = build_problem(cfg, base_dir)
-    state = integ.init_state()
+    start_step, ih_prev0 = 0, float("inf")
+    if resume_from is not None:
+        from .checkpoint import checkpoint_meta, resume_experiment
+
+        cfg, mesh, integ, state = resume_experiment(
+            resume_from, base_dir or "."
+        )
+        start_step, ih_prev0 = checkpoint_meta(resume_from)
+    else:
+        mesh, integ = build_problem(cfg, base_dir)
+        state = integ.init_state()
+    res = RunResult(name=cfg.name, method=cfg.method)
     res.setup_time = time.perf_counter() - t0
     res.n_elements = int(mesh.n_elements)
 
@@ -93,9 +106,9 @@ def run_experiment(
     # trace starts with the initial energy row (main.cpp:176-178)
     res.ih_trace = [ih0]
     res.t_trace = [0.0]
-    ih_prev = float("inf")
+    ih_prev = ih_prev0
     t_loop = time.perf_counter()
-    step_i = 0
+    step_i = start_step
     ckpt_dir = os.path.join(out_dir, "checkpoints") if out_dir else None
     while step_i < cfg.n_steps:
         if step_chunk > 1 and hasattr(integ, "multi_step"):
@@ -135,7 +148,7 @@ def run_experiment(
         if checkpoint_every and ckpt_dir and step_i % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 
-            save_checkpoint(ckpt_dir, cfg, mesh, state, step_i)
+            save_checkpoint(ckpt_dir, cfg, mesh, state, step_i, ih_prev)
         if done:
             res.converged = True
             break

@@ -11,8 +11,10 @@ TPU-native redesign is matrix-free:
 
 Newton with *exact* Jacobian-vector products via ``jax.jvp`` of the
 assembled gradient (no FD assembly at all), inner solves with BiCGStab
-(``jax.scipy.sparse.linalg.bicgstab``) and a diagonal (Jacobi)
-preconditioner ``1/(1 + dt/tau * diag-estimate)``. Stops when
+(``jax.scipy.sparse.linalg.bicgstab``) under a diagonal (Jacobi)
+preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` — the exact
+Hessian diagonal assembled from per-element ``jax.hessian`` diagonals
+(the global Hessian is a scatter-sum of element Hessians). Stops when
 ``||F||_1 < 0.1 * tol`` like the reference (SAFETY_FAC, Mesh.cpp:1268,1298),
 capped at 1000 Newton iterations (Mesh.cpp:1275).
 """
@@ -58,13 +60,43 @@ class BackwardEulerIntegrator:
             (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
         )
 
+        from ..ops import huang
+        from ..ops.scatter import gather_elements, scatter_add_dense
+
+        ehat, cm = mesh.ehat, mesh.comp_mesh
+        dp1, dim = mesh.dim + 1, mesh.dim
+
         def step(x, F, xi, grid, masks):
+            _, interior_nodes, dense_idx = masks
+
             def grad_i(xv):
                 _, g = mesh._gradient_impl(xv, F, xi, grid, masks, True)
                 return g
 
             def residual(xv, xn):
                 return dt_tau * grad_i(xv) + (xv - xn)
+
+            def jac_diag(xv):
+                """diag(J) = 1 + (dt/tau) diag(Hess I), exact: the global
+                Hessian is the scatter-sum of per-element Hessians, so its
+                diagonal is the scatter-sum of their diagonals. Replaces the
+                role of the reference's ILU(0) factor (Mesh.cpp:263-304,
+                MatrixIter.cpp:635) with a TPU-friendly Jacobi form."""
+
+                def elem_hdiag(z, xi_e):
+                    h = jax.hessian(
+                        lambda zf: huang.element_energy(
+                            zf.reshape(dp1, dim), xi_e, grid, ehat, cm
+                        )
+                    )(z.reshape(-1))
+                    return jnp.diagonal(h).reshape(dp1, dim)
+
+                d_e = jax.vmap(elem_hdiag)(gather_elements(xv, F), xi)
+                d = scatter_add_dense(d_e, dense_idx) * interior_nodes
+                dj = 1.0 + dt_tau * d
+                # Jacobi preconditioning only needs nonsingularity; keep
+                # the sign, floor the magnitude away from zero
+                return jnp.where(jnp.abs(dj) < 1e-8, 1.0, dj)
 
             def newton_solve(xv, xn):
                 def cond(carry):
@@ -77,6 +109,7 @@ class BackwardEulerIntegrator:
                     it, xv, _, _ = carry
                     Fv = residual(xv, xn)
                     gnorm = block_sum_f64(jnp.abs(Fv))
+                    dj = jac_diag(xv)
 
                     def jvp(v):
                         return jax.jvp(
@@ -84,7 +117,8 @@ class BackwardEulerIntegrator:
                         )[1]
 
                     dx, _ = jax.scipy.sparse.linalg.bicgstab(
-                        jvp, -Fv, tol=krylov_tol, maxiter=krylov_maxiter
+                        jvp, -Fv, tol=krylov_tol, maxiter=krylov_maxiter,
+                        M=lambda v: v / dj,
                     )
                     dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)

@@ -148,6 +148,27 @@ class MovingMesh:
         self._gradient_jit = jax.jit(self._gradient_impl, static_argnums=5)
 
     # ------------------------------------------------------------------
+    def project_onto_boundary(
+        self, x: jnp.ndarray, ref_x: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """Free-slip projection of BOUNDARY_FREE nodes in the proposal ``x``
+        onto their incident boundary faces at the committed geometry
+        ``ref_x`` (defaults to ``x``; pass the pre-step positions — the
+        reference reads face vertices from ``Vp``).
+        (``Mesh::projectOntoBoundary``, Mesh.cpp:119-241.) Dormant in the
+        reference (all call sites commented out, Mesh.cpp:636-642, 975-984,
+        1020-1026) — provided here the same way: an optional post-step
+        capability, never in the hot compiled loop."""
+        if not hasattr(self, "_boundary_projector"):
+            from .ops.boundary import make_boundary_projector
+
+            self._boundary_projector = jax.jit(
+                make_boundary_projector(
+                    self.boundary_faces, self.mask_np, self.dim
+                )
+            )
+        return self._boundary_projector(x, x if ref_x is None else ref_x)
+
     def prox(self, z, xi, dxpu, free_mask, tol, max_iters):
         """Convenience wrapper binding this mesh's grid (tests/small runs;
         the integrators call ``prox_fn`` with the grid as a traced arg)."""

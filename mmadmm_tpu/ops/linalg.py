@@ -37,7 +37,7 @@ def ldlt_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         d = A[j, j]
         for k in range(j):
             d = d - L[j][k] * L[j][k] * D[k]
-        d = jnp.where(jnp.abs(d) < _DIAG_FLOOR, floor, d)
+        d = jnp.where(jnp.abs(d) < floor, floor, d)
         D[j] = d
         for i in range(j + 1, n):
             s = A[i, j]

@@ -77,6 +77,7 @@ def main(argv=None) -> int:
         step_chunk=args.chunk,
         verbose=args.verbose,
         checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume,
     )
     s = res.summary()
     print(

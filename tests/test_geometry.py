@@ -177,3 +177,100 @@ def test_read_shipped_circle_mesh():
     assert mask.shape[0] == X.shape[0]
     F2 = reorient_elements(X, F)
     assert np.all(element_edge_dets(X, F2) > 0)
+
+
+def test_boundary_projection_2d():
+    """Free-slip projection (Mesh::projection2D semantics, Mesh.cpp:119-174):
+    a perturbed BOUNDARY_FREE node returns to the closest point on an
+    incident boundary edge; an off-segment projection clamps to the nearer
+    endpoint; fixed/interior nodes never move."""
+    import jax.numpy as jnp
+
+    from mmadmm_tpu.ops.boundary import make_boundary_projector
+
+    X, F, mask = generate_uniform_rect_mesh(
+        2, 4, 4, 0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0,
+        boundary_type=NodeType.BOUNDARY_FREE,
+    )
+    from mmadmm_tpu.geometry.topology import build_boundary_faces
+
+    faces = build_boundary_faces(F, mask)
+    assert faces.shape[0] > 0
+    project = make_boundary_projector(faces, mask, 2)
+
+    x = jnp.asarray(X)
+    # pick a free node on the bottom edge (y == 0, not a corner)
+    free = np.nonzero(
+        (mask == NodeType.BOUNDARY_FREE) & (X[:, 1] == 0.0)
+        & (X[:, 0] > 0.0) & (X[:, 0] < 1.0)
+    )[0]
+    assert free.size > 0
+    n = int(free[0])
+    # pull it off the boundary; projection against the committed geometry
+    # puts it back on y = 0 keeping x
+    x_pert = x.at[n, 1].add(0.07)
+    x_proj = project(x_pert, x)
+    np.testing.assert_allclose(float(x_proj[n, 1]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(x_proj[n, 0]), X[n, 0], atol=1e-12)
+    # everything else untouched
+    others = np.ones(X.shape[0], bool)
+    others[n] = False
+    np.testing.assert_array_equal(
+        np.asarray(x_proj)[others], np.asarray(x_pert)[others]
+    )
+
+
+def test_boundary_projection_3d():
+    import jax.numpy as jnp
+
+    from mmadmm_tpu.geometry.topology import build_boundary_faces
+    from mmadmm_tpu.ops.boundary import make_boundary_projector
+
+    X, F, mask = generate_uniform_rect_mesh(
+        3, 3, 3, 3, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0,
+        boundary_type=NodeType.BOUNDARY_FREE,
+    )
+    faces = build_boundary_faces(F, mask)
+    project = make_boundary_projector(faces, mask, 3)
+
+    x = jnp.asarray(X)
+    free = np.nonzero(
+        (mask == NodeType.BOUNDARY_FREE) & (X[:, 2] == 0.0)
+        & (X[:, 0] > 0.0) & (X[:, 0] < 1.0)
+        & (X[:, 1] > 0.0) & (X[:, 1] < 1.0)
+    )[0]
+    assert free.size > 0
+    n = int(free[0])
+
+    # reference semantics (projection3D, Mesh.cpp:176-233): a proposal
+    # straight above the node itself projects onto a VERTEX (barycentric
+    # (0,0,1)), which CHECK_EPS rejects -> the node does not move
+    x_vert = x.at[n, 2].add(0.05)
+    np.testing.assert_array_equal(
+        np.asarray(project(x_vert, x)), np.asarray(x_vert)
+    )
+
+    # a proposal above a strictly interior point of an incident boundary
+    # triangle projects onto exactly that point
+    incident = [f for f in faces if n in f and np.all(X[f][:, 2] == 0.0)]
+    target = X[incident[0]].mean(axis=0)  # centroid, strictly inside
+    x_pert = x.at[n].set(jnp.asarray(target + np.array([0.0, 0.0, 0.05])))
+    x_proj = project(x_pert, x)
+    np.testing.assert_allclose(np.asarray(x_proj)[n], target, atol=1e-12)
+
+
+def test_boundary_projection_via_mesh_api():
+    """MovingMesh.project_onto_boundary on an all-fixed mesh is a no-op
+    (no BOUNDARY_FREE nodes -> identity), and runs jitted."""
+    import jax.numpy as jnp
+
+    from mmadmm_tpu.config import ExperimentConfig
+    from mmadmm_tpu.problems import build_problem
+
+    cfg = ExperimentConfig(
+        test_type="SquareGrid", dim=2, mon_type=1, method=0,
+        nx=4, ny=4, dt=5e-3, tau=0.1, rho=50.0,
+    )
+    mesh, _ = build_problem(cfg)
+    x2 = mesh.project_onto_boundary(mesh.X0)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(mesh.X0))

@@ -70,6 +70,27 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     assert float(i1.ih_start) == float(i2.ih_start)
 
 
+def test_run_resume_continues_exactly(tmp_path):
+    """run.py --resume path: a run checkpointed at step 3 and resumed
+    finishes with the same node positions and final Ih as the
+    uninterrupted run (bit-exact: state round-trips through f64 npz)."""
+    out_full = str(tmp_path / "full")
+    r_full = run_experiment(tiny_cfg(), out_dir=out_full)
+
+    out_a = str(tmp_path / "a")
+    run_experiment(tiny_cfg(), out_dir=out_a, checkpoint_every=3)
+    ckpt = os.path.join(out_a, "checkpoints", "step_000003.npz")
+    assert os.path.exists(ckpt)
+
+    out_b = str(tmp_path / "b")
+    r_b = run_experiment(tiny_cfg(), out_dir=out_b, resume_from=ckpt)
+    assert r_b.n_steps == r_full.n_steps == 6
+    assert r_b.final_ih == r_full.final_ih
+    pts_full = np.loadtxt(os.path.join(out_full, "points.txt"), delimiter=",")
+    pts_b = np.loadtxt(os.path.join(out_b, "points.txt"), delimiter=",")
+    np.testing.assert_array_equal(pts_full, pts_b)
+
+
 def test_simultaneous_sweep_and_size_plot(tmp_path):
     """run_simultaneous_experiment pairs sorted configs with 2^i shards and
     writes Simul*.json (experiments.py:470-501); run_grid_scale records

@@ -102,6 +102,18 @@ def test_admm_monitor320_fromfile_first_steps_match_reference():
     np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-5)
 
 
+def test_euler_3d_first_steps_match_reference():
+    ours = run_steps("3DMonitor110", 3, method=1)
+    ref = ref_trace("3DMonitor110", method=1)
+    np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
+
+
+def test_backward_euler_3d_first_steps_match_reference():
+    ours = run_steps("3DMonitor110", 2, method=2)
+    ref = ref_trace("3DMonitor110", method=2)
+    np.testing.assert_allclose(ours[:3], ref[:3], rtol=5e-6)
+
+
 def test_admm_3dmonitor210_first_steps_match_reference():
     ours = run_steps("3DMonitor210", 3)
     ref = ref_trace("3DMonitor210")
