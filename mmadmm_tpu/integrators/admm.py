@@ -97,18 +97,20 @@ class ADMMIntegrator:
         u_bar = jnp.zeros(
             (n_elem, self.mesh.dim + 1, self.mesh.dim), dtype=self.mesh.dtype
         )
+        steps = jnp.zeros((), dtype=jnp.int32)
         if self.shards is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            u_bar = jax.device_put(
-                u_bar, NamedSharding(self.device_mesh, P("elems"))
-            )
-            x0 = jax.device_put(x0, NamedSharding(self.device_mesh, P()))
+            from ..parallel.spmd import put_global
+
+            u_bar = put_global(u_bar, self.device_mesh, P("elems"))
+            x0 = put_global(x0, self.device_mesh, P())
+            steps = put_global(steps, self.device_mesh, P())
         return ADMMState(
             x=x0,
             x_prev=x0,
             u_bar=u_bar,
-            steps=jnp.zeros((), dtype=jnp.int32),
+            steps=steps,
         )
 
     # ------------------------------------------------------------------
@@ -423,11 +425,25 @@ class ADMMIntegrator:
         )
         jitted = jax.jit(sharded)
         # unjitted fn + explicit args kept for multi_step's scan so shard
-        # arrays stay call arguments there too (never HLO constants)
+        # arrays stay call arguments there too (never HLO constants).
+        # Args are committed to their shard_map specs up front — required in
+        # multi-process runs (each process holds only its addressable
+        # shards), a no-op device_put otherwise.
+        from ..parallel.spmd import put_global
+
         self._sharded_fn = sharded
-        self._sharded_args = (
-            shards.F, shards.xi, shards.elem_free, shards.valid,
-            shards.perm, shards.seg, dense_arg, mesh.grid, mesh.deg,
+        arg_specs = (
+            P("elems"), P("elems"), P("elems"), P("elems"),
+            P("elems", None), P("elems", None), P("elems", None, None),
+            P(), P(),
+        )
+        self._sharded_args = tuple(
+            put_global(a, dmesh, s)
+            for a, s in zip(
+                (shards.F, shards.xi, shards.elem_free, shards.valid,
+                 shards.perm, shards.seg, dense_arg, mesh.grid, mesh.deg),
+                arg_specs,
+            )
         )
 
         def step(state):

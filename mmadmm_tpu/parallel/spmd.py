@@ -47,6 +47,29 @@ def make_device_mesh(n_devices: int | None = None, devices=None):
     return Mesh(np.asarray(devices), ("elems",))
 
 
+def put_global(arr, device_mesh, spec):
+    """Commit ``arr`` to ``NamedSharding(device_mesh, spec)``.
+
+    Single-process: plain ``device_put``. Multi-process (after
+    ``initialize_multihost``): every process holds the full logical array
+    (setup is deterministic host-side NumPy), so each process donates its
+    addressable shards via ``make_array_from_callback`` — the standard way
+    to form a global jax.Array without shipping remote shards."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(device_mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+
+    def _commit(leaf):
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    return jax.tree_util.tree_map(_commit, arr)
+
+
 def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

@@ -49,6 +49,7 @@ def test_runner_writes_reference_format_artifacts(tmp_path):
     assert X.shape[1] == 2 and F.shape[1] == 3 and mask.shape[0] == X.shape[0]
 
 
+@pytest.mark.slow
 def test_chunked_matches_stepwise():
     r1 = run_experiment(tiny_cfg(), step_chunk=1)
     r3 = run_experiment(tiny_cfg(), step_chunk=3)
@@ -70,6 +71,7 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     assert float(i1.ih_start) == float(i2.ih_start)
 
 
+@pytest.mark.slow
 def test_run_resume_continues_exactly(tmp_path):
     """run.py --resume path: a run checkpointed at step 3 and resumed
     finishes with the same node positions and final Ih as the
@@ -91,6 +93,7 @@ def test_run_resume_continues_exactly(tmp_path):
     np.testing.assert_array_equal(pts_full, pts_b)
 
 
+@pytest.mark.slow
 def test_simultaneous_sweep_and_size_plot(tmp_path):
     """run_simultaneous_experiment pairs sorted configs with 2^i shards and
     writes Simul*.json (experiments.py:470-501); run_grid_scale records

@@ -53,6 +53,7 @@ def test_admm_monitor120_first_steps_match_reference():
     np.testing.assert_allclose(ours[1:6], ref[1:6], rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_admm_sharded_matches_single_device():
     single = run_steps("Monitor120", 3, n_devices=1)
     sharded = run_steps("Monitor120", 3, n_devices=4)
@@ -71,6 +72,7 @@ def test_backward_euler_monitor120_first_steps_match_reference():
     np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_admm_3d_first_steps_match_reference():
     ours = run_steps("3DMonitor110", 3)
     ref = ref_trace("3DMonitor110")
@@ -102,24 +104,28 @@ def test_admm_monitor320_fromfile_first_steps_match_reference():
     np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_euler_3d_first_steps_match_reference():
     ours = run_steps("3DMonitor110", 3, method=1)
     ref = ref_trace("3DMonitor110", method=1)
     np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_backward_euler_3d_first_steps_match_reference():
     ours = run_steps("3DMonitor110", 2, method=2)
     ref = ref_trace("3DMonitor110", method=2)
     np.testing.assert_allclose(ours[:3], ref[:3], rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_admm_3dmonitor210_first_steps_match_reference():
     ours = run_steps("3DMonitor210", 3)
     ref = ref_trace("3DMonitor210")
     np.testing.assert_allclose(ours[:4], ref[:4], rtol=5e-6)
 
 
+@pytest.mark.slow
 def test_admm_3dmonitor310_initial_energy_matches_reference():
     # trajectory deviates by design on this weakly-regularized (rho=10)
     # config — our exact-Newton prox converges to LOWER energy than the

@@ -29,6 +29,7 @@ def _prox_inputs(cfg):
     [(2, 10), (3, 4)],
     ids=["2d", "3d"],
 )
+@pytest.mark.slow
 def test_pallas_prox_matches_vmap(dim, nx):
     cfg = ExperimentConfig(
         test_type="SquareGrid", dim=dim, mon_type=1, method=0,

@@ -27,6 +27,7 @@ def run_k(integ, k):
     return out
 
 
+@pytest.mark.slow
 def test_sharded_multi_step_matches_stepwise():
     _, integ = build(4)
     s1 = integ.init_state()
@@ -40,12 +41,14 @@ def test_sharded_multi_step_matches_stepwise():
     np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_3d_matches_single():
     _, integ1 = build(1, dim=3, nx=3)
     _, integ8 = build(8, dim=3, nx=3)
     np.testing.assert_allclose(run_k(integ1, 3), run_k(integ8, 3), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_uneven_padding():
     # 6x6 shoulder-free rect: 144 elements; 144 % 5 != 0 -> padding path
     _, integ1 = build(1)
