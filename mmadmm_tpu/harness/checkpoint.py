@@ -45,6 +45,11 @@ def save_checkpoint(
         arrays["x_prev"] = np.asarray(state.x_prev, dtype=np.float64)
     if hasattr(state, "u_bar"):
         arrays["u_bar"] = np.asarray(state.u_bar, dtype=np.float64)
+    # energy-guard carry (adaptive predictor fallback)
+    if hasattr(state, "ih_last"):
+        arrays["ih_last"] = np.asarray(state.ih_last, dtype=np.float64)
+    if hasattr(state, "rose"):
+        arrays["rose"] = np.asarray(state.rose)
     with open(tmp, "wb") as f:
         np.savez_compressed(
             f, config=json.dumps(dataclasses.asdict(cfg)), **arrays
@@ -92,6 +97,10 @@ def resume_experiment(path: str, base_dir: str = "."):
             updates["u_bar"] = u
     if hasattr(state, "steps") and "steps" in arrays:
         updates["steps"] = jnp.asarray(arrays["steps"])
+    if hasattr(state, "ih_last") and "ih_last" in arrays:
+        updates["ih_last"] = jnp.asarray(arrays["ih_last"], dtype=jnp.float64)
+    if hasattr(state, "rose") and "rose" in arrays:
+        updates["rose"] = jnp.asarray(arrays["rose"], dtype=bool)
     state = state._replace(**updates)
     return cfg, mesh, integ, state
 

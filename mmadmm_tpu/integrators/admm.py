@@ -5,8 +5,12 @@ Re-implements ``MeshIntegrator<D>`` (reference
 step. Structure of one step (``MeshIntegrator::step``,
 ``MeshIntegrator.cpp:101-191``):
 
-  predictor  x_bar = x - (dt/tau) grad I   (first <=2 steps / gradUse)
-             x_bar = 2 x - x_prev          (after; Mesh::predictX,
+  predictor  x_bar = x - (dt/tau) grad I   (first <=2 steps / gradUse,
+                                            and after any Ihstart uptick —
+                                            the ENERGY GUARD, see
+                                            predictor() in _build_step)
+             x_bar = 2 x - x_prev          (while Ihstart decreases;
+                                            Mesh::predictX,
                                             Mesh.cpp:650-674)
   z = D x_bar   (step 0: z = D x_prev; u_bar = 0 before any prox)
   x-update   x = t^{-1} (tau x_bar + dt^2 w D^T (w (z - u_bar)))
@@ -47,6 +51,8 @@ class ADMMState(NamedTuple):
     x_prev: jnp.ndarray  # [NP, D]
     u_bar: jnp.ndarray  # [NF, D+1, D]
     steps: jnp.ndarray  # i32 scalar — stepsTaken (MeshIntegrator.h:46)
+    ih_last: jnp.ndarray  # f64 scalar — Ihstart of the previous step
+    rose: jnp.ndarray  # bool scalar — Ihstart rose at the previous step
 
 
 class StepInfo(NamedTuple):
@@ -64,6 +70,7 @@ class ADMMIntegrator:
         *,
         admm_iters: int = 10,
         tol: float = 1e-3,
+        prox_tol: float | None = None,
         prox_max_iters: int = 50,
         grad_use: bool = False,
         device_mesh=None,
@@ -72,6 +79,11 @@ class ADMMIntegrator:
         self.dt = float(dt)
         self.admm_iters = int(admm_iters)
         self.tol = float(tol)
+        # per-element prox gradient tolerance; the reference hard-couples it
+        # to the step tolerance (tol/100, Mesh.cpp:968) — kept as the
+        # default but decoupled so the stop test can be tightened without
+        # dragging the Newton solve with it
+        self.prox_tol = float(prox_tol) if prox_tol is not None else self.tol / 100.0
         self.prox_max_iters = int(prox_max_iters)
         self.grad_use = bool(grad_use)
         self.device_mesh = device_mesh
@@ -98,6 +110,8 @@ class ADMMIntegrator:
             (n_elem, self.mesh.dim + 1, self.mesh.dim), dtype=self.mesh.dtype
         )
         steps = jnp.zeros((), dtype=jnp.int32)
+        ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
+        rose = jnp.zeros((), dtype=bool)
         if self.shards is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -106,11 +120,15 @@ class ADMMIntegrator:
             u_bar = put_global(u_bar, self.device_mesh, P("elems"))
             x0 = put_global(x0, self.device_mesh, P())
             steps = put_global(steps, self.device_mesh, P())
+            ih_last = put_global(ih_last, self.device_mesh, P())
+            rose = put_global(rose, self.device_mesh, P())
         return ADMMState(
             x=x0,
             x_prev=x0,
             u_bar=u_bar,
             steps=steps,
+            ih_last=ih_last,
+            rose=rose,
         )
 
     # ------------------------------------------------------------------
@@ -139,7 +157,7 @@ class ADMMIntegrator:
         w = mesh.w
         dt2w2 = dt * dt * w * w
         tol = self.tol
-        prox_tol = tol / 100.0  # Mesh.cpp:968
+        prox_tol = self.prox_tol
         n_iters = self.admm_iters
         prox_iters = self.prox_max_iters
         prox_fn = mesh.prox_fn
@@ -160,8 +178,19 @@ class ADMMIntegrator:
                 )
                 return rhs / t_diag[:, None]
 
-            def predictor(x, x_prev, steps):
-                # Mesh::predictX (Mesh.cpp:650-674)
+            def predictor(x, x_prev, steps, rose):
+                # Mesh::predictX (Mesh.cpp:650-674) with an ENERGY GUARD:
+                # extrapolation (2x - x_prev) is used only while Ihstart is
+                # decreasing; after an uptick the gradient predictor runs
+                # for a step. The shipped reference extrapolates
+                # unconditionally, which is unstable at the fine-mesh /
+                # small-dt configs (Monitor1{160,320}): the rebuilt
+                # reference binary diverges and aborts on its own shipped
+                # configs (Edet>0 assert, AdaptationFunctional.cpp:174),
+                # while its RECORDED traces damp exactly one step after the
+                # first uptick (Results/Monitor1160/Ih0.txt rows 21-23) —
+                # matching this guard, which the published artifacts
+                # evidently had.
                 def euler(_):
                     ih_e, g_e = energy_grad_e(gather(x), c["xi"], c["grid"])
                     g = scatter_add_dense(
@@ -174,10 +203,12 @@ class ADMMIntegrator:
 
                 if self.grad_use:
                     return euler(None)
-                return jax.lax.cond(steps <= 2, euler, extrap, None)
+                return jax.lax.cond(
+                    jnp.logical_or(steps <= 2, rose), euler, extrap, None
+                )
 
-            x, x_prev, u_bar, steps = state
-            x_bar = predictor(x, x_prev, steps)
+            x, x_prev, u_bar, steps, ih_last, rose = state
+            x_bar = predictor(x, x_prev, steps, rose)
 
             x_prev = x
             x = x_bar
@@ -233,7 +264,10 @@ class ADMMIntegrator:
                 cond, body, init
             )
 
-            new_state = ADMMState(x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1)
+            new_state = ADMMState(
+                x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
+                ih_last=ih_start, rose=ih_start > ih_last,
+            )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
             )
@@ -268,7 +302,7 @@ class ADMMIntegrator:
         w = mesh.w
         dt2w2 = dt * dt * w * w
         tol = self.tol
-        prox_tol = tol / 100.0
+        prox_tol = self.prox_tol
         n_iters = self.admm_iters
         prox_iters = self.prox_max_iters
         n_pnts = mesh.n_pnts
@@ -282,7 +316,7 @@ class ADMMIntegrator:
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
             t_diag = tau + dt2w2 * deg
-            x, x_prev, u_bar_l, steps = state
+            x, x_prev, u_bar_l, steps, ih_last, rose = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
             valid_e = valid_l[:, None, None]
@@ -325,7 +359,9 @@ class ADMMIntegrator:
                     z, xi, grid, mesh.ehat, mesh.comp_mesh
                 )
 
-            def predictor(x, x_prev, steps):
+            def predictor(x, x_prev, steps, rose):
+                # energy-guarded predictor — see _build_step for the
+                # rationale and the reference-artifact evidence
                 def euler(_):
                     _, g = grad_at(x)
                     return x - (dt / tau) * g
@@ -335,9 +371,11 @@ class ADMMIntegrator:
 
                 if self.grad_use:
                     return euler(None)
-                return jax.lax.cond(steps <= 2, euler, extrap, None)
+                return jax.lax.cond(
+                    jnp.logical_or(steps <= 2, rose), euler, extrap, None
+                )
 
-            x_bar = predictor(x, x_prev, steps)
+            x_bar = predictor(x, x_prev, steps, rose)
             x_prev = x
             x = x_bar
             z_l = jax.lax.cond(
@@ -395,14 +433,16 @@ class ADMMIntegrator:
             )
 
             new_state = ADMMState(
-                x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1
+                x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
+                ih_last=ih_start, rose=ih_start > ih_last,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
             )
 
         state_specs = ADMMState(
-            x=P(), x_prev=P(), u_bar=P("elems"), steps=P()
+            x=P(), x_prev=P(), u_bar=P("elems"), steps=P(),
+            ih_last=P(), rose=P(),
         )
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()
