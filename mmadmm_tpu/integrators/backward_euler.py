@@ -11,10 +11,15 @@ TPU-native redesign is matrix-free:
 
 Newton with *exact* Jacobian-vector products via ``jax.jvp`` of the
 assembled gradient (no FD assembly at all), inner solves with BiCGStab
-(``jax.scipy.sparse.linalg.bicgstab``) under a diagonal (Jacobi)
-preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` — the exact
-Hessian diagonal assembled from per-element ``jax.hessian`` diagonals
-(the global Hessian is a scatter-sum of element Hessians). Stops when
+(``jax.scipy.sparse.linalg.bicgstab``). An optional diagonal (Jacobi)
+chord preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` is
+available (``precondition=True``; exact Hessian diagonal assembled from
+per-element ``jax.hessian`` diagonals once per step) but is OFF by
+default: the system ``I + (dt/tau) Hess`` is a small perturbation of the
+identity at the shipped configs (dt/tau <= 0.05), and the measured effect
+of Jacobi is negative — 0.71 vs 0.61 s/step on Monitor1160
+(``scripts/be_precond_bench.py``); the reference's ILU(0)
+(Mesh.cpp:263-304) solves a problem these configs don't have. Stops when
 ``||F||_1 < 0.1 * tol`` like the reference (SAFETY_FAC, Mesh.cpp:1268,1298),
 capped at 1000 Newton iterations (Mesh.cpp:1275).
 """
@@ -44,6 +49,7 @@ class BackwardEulerIntegrator:
         max_newton: int = 1000,
         krylov_tol: float = 1e-6,
         krylov_maxiter: int = 200,
+        precondition: bool = False,
     ):
         self.mesh = mesh
         self.dt = float(dt)
@@ -99,6 +105,14 @@ class BackwardEulerIntegrator:
                 return jnp.where(jnp.abs(dj) < 1e-8, 1.0, dj)
 
             def newton_solve(xv, xn):
+                # CHORD preconditioner: the Jacobi diagonal is assembled
+                # once per time step at the initial guess and reused for
+                # every Newton iteration — the diagonal drifts little
+                # within a step, and re-assembling it per iteration costs
+                # more than it saves (measured on Monitor1160:
+                # scripts/be_precond_bench.py)
+                dj = jac_diag(xv) if precondition else None
+
                 def cond(carry):
                     it, _, gnorm, _ = carry
                     return jnp.logical_and(
@@ -109,16 +123,16 @@ class BackwardEulerIntegrator:
                     it, xv, _, _ = carry
                     Fv = residual(xv, xn)
                     gnorm = block_sum_f64(jnp.abs(Fv))
-                    dj = jac_diag(xv)
 
                     def jvp(v):
                         return jax.jvp(
                             lambda y: residual(y, xn), (xv,), (v,)
                         )[1]
 
+                    M = (lambda v: v / dj) if precondition else None
                     dx, _ = jax.scipy.sparse.linalg.bicgstab(
                         jvp, -Fv, tol=krylov_tol, maxiter=krylov_maxiter,
-                        M=lambda v: v / dj,
+                        M=M,
                     )
                     dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
