@@ -163,3 +163,24 @@ def test_admm_monitor1160_f32_converges_at_scale():
     ref_final = ref_trace("Monitor1160")[-1]  # 0.81342
     assert final <= ref_final + 1e-4
     assert final > 0.80  # sane attractor, not a collapse
+
+
+@pytest.mark.slow
+def test_cross_method_converged_energy_agreement():
+    """SURVEY §4: the reference's correctness oracle is agreement of the
+    CONVERGED Ih across the three integrators (experiments.py:221-240).
+    The recorded Euler/BE runs both reach 0.813163 on Monitor120
+    (Results/Monitor120/Ih{1,2}.txt); the guarded ADMM must land there
+    too (the recorded ADMM 0.828926 is the unguarded-predictor artifact —
+    see README)."""
+    finals = {}
+    for method in (0, 1, 2):
+        cfg = load_experiment_config(f"{REF}/InputFiles/Monitor120.json")
+        cfg.method = method
+        mesh, integ = build_problem(cfg)
+        _, trace = integ.run(cfg.n_steps, cfg.dt_tol)
+        finals[method] = trace[-1]
+    ref_final = ref_trace("Monitor120", method=1)[-1]  # 0.813163
+    for method, ih in finals.items():
+        np.testing.assert_allclose(ih, ref_final, atol=2e-4,
+                                   err_msg=f"method {method}")
