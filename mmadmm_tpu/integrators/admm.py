@@ -73,6 +73,7 @@ class ADMMIntegrator:
         prox_tol: float | None = None,
         prox_max_iters: int = 50,
         grad_use: bool = False,
+        sticky_guard: bool = False,
         device_mesh=None,
     ):
         self.mesh = mesh
@@ -86,6 +87,10 @@ class ADMMIntegrator:
         self.prox_tol = float(prox_tol) if prox_tol is not None else self.tol / 100.0
         self.prox_max_iters = int(prox_max_iters)
         self.grad_use = bool(grad_use)
+        # sticky_guard: once the energy guard trips, stay on the gradient
+        # predictor for the rest of the run (pure damped descent tail)
+        # instead of re-enabling extrapolation when Ih falls again
+        self.sticky_guard = bool(sticky_guard)
         self.device_mesh = device_mesh
         self._multi_cache: dict[int, Any] = {}
         if device_mesh is None:
@@ -264,9 +269,12 @@ class ADMMIntegrator:
                 cond, body, init
             )
 
+            rose_next = ih_start > ih_last
+            if self.sticky_guard:
+                rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
-                ih_last=ih_start, rose=ih_start > ih_last,
+                ih_last=ih_start, rose=rose_next,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -432,9 +440,12 @@ class ADMMIntegrator:
                 cond, body, init
             )
 
+            rose_next = ih_start > ih_last
+            if self.sticky_guard:
+                rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
-                ih_last=ih_start, rose=ih_start > ih_last,
+                ih_last=ih_start, rose=rose_next,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i

@@ -1,8 +1,10 @@
 """Phase-level timing of one ADMM step on the current backend.
 
-Separates: gather, scatter-add (segment_sum), f64 energy reduction,
-batched energy+grad, prox at max_iters in {1, 5, 50}. Run on TPU to find
-the per-step bottleneck; on CPU for comparison.
+Separates: gather, scatter-add, f64 energy reduction, batched
+energy+grad, prox at max_iters in {1, 5, 50}. Every probe passes the mesh
+arrays as ARGUMENTS (closing over them embeds multi-MB HLO constants,
+which makes the remote TPU compile of each probe take tens of minutes —
+same rationale as ADMMIntegrator._consts).
 """
 
 import sys
@@ -11,10 +13,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
-import jax.numpy as jnp
 
 from mmadmm_tpu.config import load_experiment_config
 from mmadmm_tpu.problems import build_problem
+from mmadmm_tpu.runtime.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 name = sys.argv[1] if len(sys.argv) > 1 else "Monitor180"
 dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
@@ -24,19 +28,23 @@ cfg.dtype = dtype
 mesh, integ = build_problem(cfg)
 print(f"{name} NF={mesh.n_elements} NP={mesh.n_pnts} dtype={dtype}", flush=True)
 
+from mmadmm_tpu.ops.scatter import gather_elements, scatter_add_dense  # noqa: E402
+
 state = integ.init_state()
 state, _ = integ.step(state)  # compile + get a realistic mid-run state
 state, _ = integ.step(state)
 x = state.x
-z = mesh.gather(x)
-u = state.u_bar
-dxpu = z + u
+z = gather_elements(x, mesh.F)
+dxpu = z + state.u_bar
 
 
 def timeit(label, fn, *args, n=20):
     f = jax.jit(fn)
+    t0 = time.perf_counter()
     r = f(*args)
     jax.block_until_ready(r)
+    print(f"  {label:34s} compile+1 {time.perf_counter()-t0:7.1f} s",
+          flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*args)
@@ -46,31 +54,28 @@ def timeit(label, fn, *args, n=20):
     return dt
 
 
-timeit("gather x[F]", lambda xv: mesh.gather(xv), x)
-timeit("scatter_add (dense plan)", lambda v: mesh.scatter_add(v), z)
-timeit("f64 elem-energy sum", lambda zz: mesh.energy_of_z(zz), z)
+timeit("gather x[F]", gather_elements, x, mesh.F)
+timeit("scatter_add (dense plan)", scatter_add_dense, z, mesh.dense_idx)
 timeit(
     "energy+grad batch (no scatter)",
-    lambda zz: mesh._energy_grad_e(zz, mesh.xi, mesh.grid),
-    z,
+    lambda zz, xi, grid: mesh._energy_grad_e(zz, xi, grid),
+    z, mesh.xi, mesh.grid,
 )
 timeit(
     "full gradient (grad+scatter)",
-    lambda xv: mesh._gradient_impl(
-        xv, mesh.F, mesh.xi, mesh.grid,
-        (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx), False,
+    lambda xv, F, xi, grid, masks: mesh._gradient_impl(
+        xv, F, xi, grid, masks, False
     ),
-    x,
+    x, mesh.F, mesh.xi, mesh.grid,
+    (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
 )
 for k in (1, 5, 50):
     timeit(
         f"prox max_iters={k}",
-        lambda gg, zz, dd, kk=k: mesh.prox_fn(
-            gg, zz, mesh.xi, dd, mesh.elem_free, integ.tol / 100.0, kk
+        lambda gg, zz, xi, dd, free, kk=k: mesh.prox_fn(
+            gg, zz, xi, dd, free, integ.prox_tol, kk
         ),
-        mesh.grid,
-        z,
-        dxpu,
+        mesh.grid, z, mesh.xi, dxpu, mesh.elem_free,
         n=5,
     )
 t0 = time.perf_counter()
