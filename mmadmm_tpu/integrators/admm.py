@@ -53,7 +53,6 @@ class ADMMState(NamedTuple):
     steps: jnp.ndarray  # i32 scalar — stepsTaken (MeshIntegrator.h:46)
     ih_last: jnp.ndarray  # f64 scalar — Ihstart of the previous step
     rose: jnp.ndarray  # bool scalar — Ihstart rose at the previous step
-    cell_cache: Any  # (ids [NF,D+1] i32, cells dict) — monitor-cell cache
 
 
 class StepInfo(NamedTuple):
@@ -118,9 +117,6 @@ class ADMMIntegrator:
         steps = jnp.zeros((), dtype=jnp.int32)
         ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
         rose = jnp.zeros((), dtype=bool)
-        from ..ops.monitor_grid import empty_cell_cache
-
-        cache = empty_cell_cache(self.mesh.grid, n_elem, self.mesh.dtype)
         if self.shards is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -131,7 +127,6 @@ class ADMMIntegrator:
             steps = put_global(steps, self.device_mesh, P())
             ih_last = put_global(ih_last, self.device_mesh, P())
             rose = put_global(rose, self.device_mesh, P())
-            cache = put_global(cache, self.device_mesh, P("elems"))
         return ADMMState(
             x=x0,
             x_prev=x0,
@@ -139,7 +134,6 @@ class ADMMIntegrator:
             steps=steps,
             ih_last=ih_last,
             rose=rose,
-            cell_cache=cache,
         )
 
     # ------------------------------------------------------------------
@@ -218,7 +212,7 @@ class ADMMIntegrator:
                     jnp.logical_or(steps <= 2, rose), euler, extrap, None
                 )
 
-            x, x_prev, u_bar, steps, ih_last, rose, cache = state
+            x, x_prev, u_bar, steps, ih_last, rose = state
             x_bar = predictor(x, x_prev, steps, rose)
 
             x_prev = x
@@ -243,12 +237,12 @@ class ADMMIntegrator:
                 # gx = D x is carried across iterations so each iteration
                 # performs exactly one gather (dxpu and the primal residual
                 # share it)
-                i, _, x, gx, z, u_bar, cache, ih_start, primal, dual = carry
+                i, _, x, gx, z, u_bar, ih_start, primal, dual = carry
                 dxpu = gx + u_bar
                 z_prev = z
-                z, ih0_e, cache = prox_fn(
+                z, ih0_e = prox_fn(
                     c["grid"], z, c["xi"], dxpu, c["elem_free"],
-                    prox_tol, prox_iters, cache,
+                    prox_tol, prox_iters,
                 )
                 ih_cur = block_sum_f64(ih0_e)
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
@@ -258,8 +252,7 @@ class ADMMIntegrator:
                 primal = jnp.sqrt(block_sumsq_f64(gx - z))
                 dual = jnp.sqrt(block_sumsq_f64(z - z_prev))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return (i + 1, done, x, gx, z, u_bar, cache, ih_start,
-                        primal, dual)
+                return i + 1, done, x, gx, z, u_bar, ih_start, primal, dual
 
             init = (
                 jnp.zeros((), jnp.int32),
@@ -268,20 +261,20 @@ class ADMMIntegrator:
                 gather(x),
                 z,
                 u_bar,
-                cache,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            (i, _, x, _, z, u_bar, cache, ih_start, primal,
-             dual) = jax.lax.while_loop(cond, body, init)
+            i, _, x, _, z, u_bar, ih_start, primal, dual = jax.lax.while_loop(
+                cond, body, init
+            )
 
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next, cell_cache=cache,
+                ih_last=ih_start, rose=rose_next,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -331,7 +324,7 @@ class ADMMIntegrator:
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
             t_diag = tau + dt2w2 * deg
-            x, x_prev, u_bar_l, steps, ih_last, rose, cache_l = state
+            x, x_prev, u_bar_l, steps, ih_last, rose = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
             valid_e = valid_l[:, None, None]
@@ -414,13 +407,11 @@ class ADMMIntegrator:
             def body(carry):
                 # gx_l carried: one gather per iteration (shared by dxpu
                 # and the primal residual)
-                (i, _, x, gx_l, z_l, u_l, cache_l, ih_start, primal,
-                 dual) = carry
+                i, _, x, gx_l, z_l, u_l, ih_start, primal, dual = carry
                 dxpu_l = gx_l + u_l
                 z_prev_l = z_l
-                z_l, ih0_e, cache_l = prox_fn(
-                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters,
-                    cache_l,
+                z_l, ih0_e = prox_fn(
+                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
                 )
                 ih_cur = jax.lax.psum(
                     block_sum_f64(ih0_e * valid_l), "elems"
@@ -432,8 +423,7 @@ class ADMMIntegrator:
                 primal = jnp.sqrt(norm_sq(gx_l - z_l))
                 dual = jnp.sqrt(norm_sq(z_l - z_prev_l))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return (i + 1, done, x, gx_l, z_l, u_l, cache_l, ih_start,
-                        primal, dual)
+                return i + 1, done, x, gx_l, z_l, u_l, ih_start, primal, dual
 
             init = (
                 jnp.zeros((), jnp.int32),
@@ -442,34 +432,28 @@ class ADMMIntegrator:
                 gather(x),
                 z_l,
                 u_bar_l,
-                cache_l,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            (i, _, x, _, z_l, u_bar_l, cache_l, ih_start, primal,
-             dual) = jax.lax.while_loop(cond, body, init)
+            i, _, x, _, z_l, u_bar_l, ih_start, primal, dual = jax.lax.while_loop(
+                cond, body, init
+            )
 
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next, cell_cache=cache_l,
+                ih_last=ih_start, rose=rose_next,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
             )
 
-        from ..ops.monitor_grid import empty_cell_cache
-
-        cache_struct = empty_cell_cache(mesh.grid, nfp, mesh.dtype)
-        cache_specs = jax.tree_util.tree_map(
-            lambda _: P("elems"), cache_struct
-        )
         state_specs = ADMMState(
             x=P(), x_prev=P(), u_bar=P("elems"), steps=P(),
-            ih_last=P(), rose=P(), cell_cache=cache_specs,
+            ih_last=P(), rose=P(),
         )
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()

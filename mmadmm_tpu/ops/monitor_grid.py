@@ -305,51 +305,3 @@ def sample_frozen(cell: dict, pnt: jnp.ndarray) -> jnp.ndarray:
         + xd * yd * zd * vals[7]
     )
     return v.reshape(3, 3)
-
-
-# --- cell cache (cross-iteration / cross-step reuse) ---------------------
-#
-# The cell payload ``gather_cell`` fetches is a pure function of the cell
-# INDEX (the grid is static), and index computation is pure arithmetic
-# (~3 ms at 307k elements) while the table gather costs ~27 ms on TPU. In
-# the converged tail of a run, vertices essentially never change cells, so
-# callers carry ``(ids, cells)`` and re-gather only when some vertex moved
-# to a different cell — values are bit-identical to an unconditional
-# gather, so trace parity is unaffected.
-
-
-def cell_ids_batch(grid: MonitorGrid, z: jnp.ndarray) -> jnp.ndarray:
-    """Linearized cell index per element vertex: [NF, D+1, D] -> [NF, D+1]
-    int32, matching ``gather_cell``'s per-axis ``_cell_index``."""
-    if grid.dim == 2:
-        ax, ay = grid.axes
-        xi = _cell_index(z[..., 0], ax)
-        yi = _cell_index(z[..., 1], ay)
-        return yi * jnp.int32(ax.shape[0] - 1) + xi
-    ax, ay, az = grid.axes
-    xi = _cell_index(z[..., 0], ax)
-    yi = _cell_index(z[..., 1], ay)
-    zi = _cell_index(z[..., 2], az)
-    nx = jnp.int32(ax.shape[0] - 1)
-    ny = jnp.int32(ay.shape[0] - 1)
-    return (zi * ny + yi) * nx + xi
-
-
-def empty_cell_cache(grid: MonitorGrid, nf: int, dtype) -> tuple:
-    """A (ids, cells) cache that can never match (ids = -1), with
-    correctly-shaped zero cell payloads — the first prox call re-gathers."""
-    D = grid.dim
-    dd = D * D
-    dp1 = D + 1
-    ids = jnp.full((nf, dp1), -1, dtype=jnp.int32)
-    cells = {
-        "vals": jnp.zeros((nf, dp1, 2 ** D, dd), dtype=dtype),
-        "x0": jnp.zeros((nf, dp1), dtype=dtype),
-        "x1": jnp.ones((nf, dp1), dtype=dtype),
-        "y0": jnp.zeros((nf, dp1), dtype=dtype),
-        "y1": jnp.ones((nf, dp1), dtype=dtype),
-    }
-    if D == 3:
-        cells["z0"] = jnp.zeros((nf, dp1), dtype=dtype)
-        cells["z1"] = jnp.ones((nf, dp1), dtype=dtype)
-    return ids, cells

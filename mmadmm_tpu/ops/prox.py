@@ -229,32 +229,16 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
         stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(zc), axis=1))
         return zc + alpha[:, None] * p_used, gnorm, stalled, J
 
-    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters, cache=None):
+    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters):
         """grid: MonitorGrid (traced pytree); z, dxpu, free_mask:
         [NF, D+1, D]; xi: [NF, D+1, D] (dummy when not comp_mesh).
-        Returns (z_opt [NF, D+1, D], ih0 [NF]).
-
-        ``cache``: optional ``(ids, cells)`` from a previous call
-        (``monitor_grid.empty_cell_cache`` to start). When given, the cell
-        table gather — the dominant fixed cost of a prox call on TPU — is
-        skipped if no vertex changed grid cells since the cached gather
-        (bit-identical values either way), and the return gains a third
-        element, the updated cache."""
+        Returns (z_opt [NF, D+1, D], ih0 [NF])."""
         nf = z.shape[0]
         zf = z.reshape(nf, n)
         dxpuf = dxpu.reshape(nf, n)
         freef = free_mask.reshape(nf, n)
 
-        if cache is None:
-            cells = gather_cells(grid, z)  # frozen for the whole solve
-        else:
-            from .monitor_grid import cell_ids_batch
-
-            ids = cell_ids_batch(grid, z)
-            same = jnp.all(ids == cache[0])
-            cells = jax.lax.cond(
-                same, lambda: cache[1], lambda: gather_cells(grid, z)
-            )
+        cells = gather_cells(grid, z)  # frozen for the whole solve
         ih0 = batched_energy(zf, xi, cells)
         J = batched_jac(zf, xi, dxpuf, freef, cells)  # chord: entry Jacobian
 
@@ -281,9 +265,6 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
         _, z_out, _, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), zf, active0, J)
         )
-        z_opt = z_out.reshape(nf, dim + 1, dim)
-        if cache is None:
-            return z_opt, ih0
-        return z_opt, ih0, (ids, cells)
+        return z_out.reshape(nf, dim + 1, dim), ih0
 
     return prox

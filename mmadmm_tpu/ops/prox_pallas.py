@@ -161,11 +161,9 @@ def make_prox_pallas(
         """[NFp, lead] -> [lead, R, 128] (R = NFp/128, row-major exact)."""
         return a_flat.T.reshape(lead, -1, _LANES)
 
-    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters, cache=None):
+    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters):
         """Same contract as make_prox_solver's prox: z/dxpu/free
-        [NF, D+1, D] -> (z_opt [NF, D+1, D], ih0 [NF]); with ``cache``
-        (an ``(ids, cells)`` pair) the cell gather is skipped when no
-        vertex changed cells and the updated cache is returned third."""
+        [NF, D+1, D] -> (z_opt [NF, D+1, D], ih0 [NF])."""
         nf = z.shape[0]
         dtype = z.dtype
         nfp = -(-nf // TILE) * TILE
@@ -173,16 +171,7 @@ def make_prox_pallas(
 
         # frozen cells gathered in XLA (native dynamic gather), then all
         # per-element data transposed once to the SoA tile layout
-        if cache is None:
-            cells = gather_cells(grid, z)
-        else:
-            from .monitor_grid import cell_ids_batch
-
-            ids = cell_ids_batch(grid, z)
-            same = jnp.all(ids == cache[0])
-            cells = jax.lax.cond(
-                same, lambda: cache[1], lambda: gather_cells(grid, z)
-            )
+        cells = gather_cells(grid, z)
 
         def pad_edge(a):
             # replicate the last element — valid geometry, so padded lanes
@@ -249,8 +238,6 @@ def make_prox_pallas(
 
         z_out = zt_out.reshape(n, nfp).T[:nf].reshape(nf, dim + 1, dim)
         ih0 = ih0t.reshape(nfp)[:nf]
-        if cache is None:
-            return z_out, ih0
-        return z_out, ih0, (ids, cells)
+        return z_out, ih0
 
     return prox

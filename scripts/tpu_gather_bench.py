@@ -1,57 +1,72 @@
-"""Micro-benchmarks of the memory-bound ops at production scale (TPU):
-element gather, dense scatter-add, monitor-cell gather, cell-index compute.
-All probes pass arrays as arguments (no HLO constants)."""
-import sys, time
+"""Microbenchmark: gather/scatter formulations on TPU.
+
+Finds the fastest lowering for x[F] (element gather) and segment_sum
+(node scatter-add) at production sizes. Run on the TPU; prints ms per op.
+"""
+
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
-from mmadmm_tpu.config import load_experiment_config
-from mmadmm_tpu.problems import build_problem
-from mmadmm_tpu.runtime.cache import enable_persistent_cache
-enable_persistent_cache()
+import numpy as np
 
-name = sys.argv[1] if len(sys.argv) > 1 else "Monitor1320"
-cfg = load_experiment_config(f"/root/reference/Experiments/InputFiles/{name}.json")
-cfg.dtype = "float32"
-mesh, integ = build_problem(cfg)
-print(f"{name} NF={mesh.n_elements}", flush=True)
-from mmadmm_tpu.ops.scatter import gather_elements, scatter_add_dense
-from mmadmm_tpu.ops.monitor_grid import gather_cell, _cell_index
+NP_ = int(sys.argv[1]) if len(sys.argv) > 1 else 160_000
+NF = int(sys.argv[2]) if len(sys.argv) > 2 else 307_200
+D = 2
 
-state = integ.init_state()
-state, _ = integ.step(state)
-x = state.x
-z = gather_elements(x, mesh.F)
+rng = np.random.default_rng(0)
+F = rng.integers(0, NP_, size=(NF, D + 1)).astype(np.int32)
+x2 = jnp.asarray(rng.standard_normal((NP_, D)).astype(np.float32))
+x8 = jnp.asarray(rng.standard_normal((NP_, 8)).astype(np.float32))
+Fj = jnp.asarray(F)
+Fflat = jnp.asarray(F.ravel())
+perm = np.argsort(F.ravel(), kind="stable").astype(np.int32)
+seg = F.ravel()[perm].astype(np.int32)
+permj = jnp.asarray(perm)
+segj = jnp.asarray(seg)
+vals = jnp.asarray(rng.standard_normal((NF * (D + 1), D)).astype(np.float32))
 
-gather_cells = jax.vmap(jax.vmap(gather_cell, in_axes=(None, 0)),
-                        in_axes=(None, 0))
 
-def timeit(label, fn, *args, n=20):
+def timeit(label, fn, *args, n=30):
     f = jax.jit(fn)
-    t0 = time.perf_counter()
-    r = f(*args); jax.block_until_ready(r)
-    c = time.perf_counter() - t0
+    r = f(*args)
+    jax.block_until_ready(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*args)
     jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / n
-    print(f"  {label:30s} {dt*1e3:8.2f} ms  (compile {c:.0f}s)", flush=True)
+    print(f"  {label:40s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms", flush=True)
 
-timeit("gather x[F]", gather_elements, x, mesh.F)
-timeit("scatter_add dense", scatter_add_dense, z, mesh.dense_idx)
-timeit("gather_cells(grid, z)", gather_cells, mesh.grid, z)
-def cell_ids(grid, zz):
-    ax, ay = grid.axes
-    xi = _cell_index(zz[..., 0], ax)
-    yi = _cell_index(zz[..., 1], ay)
-    return yi * (ax.shape[0] - 1) + xi
 
-timeit("cell ids (searchsorted)", cell_ids, mesh.grid, z)
-# layout variants for the element gather
-Ff = mesh.F.reshape(-1)
-timeit("take flat rows", lambda xv, ff: jnp.take(xv, ff, axis=0), x, Ff)
-xT = x.T.copy()
-timeit("take lanes (xT[:, F])", lambda xt, ff: jnp.take(xt, ff, axis=1), xT, Ff)
-x8 = jnp.pad(x, ((0, 0), (0, 6)))
-timeit("take rows padded to 8", lambda xv, ff: jnp.take(xv, ff, axis=0), x8, Ff)
+print(f"NP={NP_} NF={NF}", flush=True)
+timeit("gather x2[F] ([NF,3,2])", lambda x: x[Fj], x2)
+timeit("gather flat x2[Fflat]", lambda x: x[Fflat], x2)
+timeit("gather x8[F] (8-wide rows)", lambda x: x[Fj], x8)
+timeit("take(x2, Fflat, axis=0)", lambda x: jnp.take(x, Fflat, axis=0), x2)
+timeit(
+    "gather x2 flat-coords (x.ravel()[2i,2i+1])",
+    lambda x: jnp.stack(
+        [x.ravel()[Fflat * 2], x.ravel()[Fflat * 2 + 1]], axis=-1
+    ),
+    x2,
+)
+timeit(
+    "segment_sum sorted",
+    lambda v: jax.ops.segment_sum(
+        v[permj], segj, num_segments=NP_, indices_are_sorted=True
+    ),
+    vals,
+)
+timeit(
+    "segment_sum unsorted ids",
+    lambda v: jax.ops.segment_sum(v, Fflat, num_segments=NP_),
+    vals,
+)
+timeit(
+    "scatter-add via .at[].add",
+    lambda v: jnp.zeros((NP_, D), jnp.float32).at[Fflat].add(v),
+    vals,
+)
