@@ -26,8 +26,16 @@ import os
 import sys
 import time
 
-# Monitor1320 time-to-converge, 1-thread C++ (Data/Monitor1/SingleMonitor1320.json)
-REF_SECONDS = {"Monitor1320": 52.97, "Monitor1160": 13.71}
+# time-to-converge, 1-thread C++ (Results/<cfg>/Ih0.txt last row;
+# cross-checked vs Data/<grp>/Single<cfg>.json — see BASELINE.md)
+REF_SECONDS = {
+    "Monitor1320": 52.97,
+    "Monitor1160": 13.71,
+    "Monitor2320": 169.1,
+    "Monitor2160": 21.0,
+    "Monitor3320": 96.5,
+    "Monitor3160": 7.21,
+}
 T0 = time.perf_counter()
 
 
