@@ -50,6 +50,12 @@ def save_checkpoint(
         arrays["ih_last"] = np.asarray(state.ih_last, dtype=np.float64)
     if hasattr(state, "rose"):
         arrays["rose"] = np.asarray(state.rose)
+    # chord-Jacobian carry — saved so a resumed run is bit-equal to the
+    # uninterrupted one (a missing J resumes as zeros: the prox slow
+    # branch then refreshes it on first rejection, correct but not
+    # bit-identical)
+    if hasattr(state, "J"):
+        arrays["J"] = np.asarray(state.J, dtype=np.float64)
     with open(tmp, "wb") as f:
         np.savez_compressed(
             f, config=json.dumps(dataclasses.asdict(cfg)), **arrays
@@ -101,6 +107,10 @@ def resume_experiment(path: str, base_dir: str = "."):
         updates["ih_last"] = jnp.asarray(arrays["ih_last"], dtype=jnp.float64)
     if hasattr(state, "rose") and "rose" in arrays:
         updates["rose"] = jnp.asarray(arrays["rose"], dtype=bool)
+    if hasattr(state, "J") and "J" in arrays:
+        Jv = jnp.asarray(arrays["J"], dtype=dtype)
+        if Jv.shape == state.J.shape:
+            updates["J"] = Jv
     state = state._replace(**updates)
     return cfg, mesh, integ, state
 

@@ -53,6 +53,11 @@ class ADMMState(NamedTuple):
     steps: jnp.ndarray  # i32 scalar — stepsTaken (MeshIntegrator.h:46)
     ih_last: jnp.ndarray  # f64 scalar — Ihstart of the previous step
     rose: jnp.ndarray  # bool scalar — Ihstart rose at the previous step
+    # chord Jacobian carried across prox calls AND time steps [NF, n, n]
+    # (the reference warm-starts its cached inverse Hessians the same way,
+    # Mesh.cpp:456-464); built fresh on the first call of a run, kept
+    # current afterwards by the prox slow branch's per-element refresh
+    J: jnp.ndarray
 
 
 class StepInfo(NamedTuple):
@@ -117,6 +122,10 @@ class ADMMIntegrator:
         steps = jnp.zeros((), dtype=jnp.int32)
         ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
         rose = jnp.zeros((), dtype=bool)
+        nn = self.mesh.dim * (self.mesh.dim + 1)
+        # zeros + the fresh flag at (steps==0, i==0) — the first prox call
+        # of a run builds the real entry Jacobian
+        J = jnp.zeros((n_elem, nn, nn), dtype=self.mesh.dtype)
         if self.shards is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -127,6 +136,7 @@ class ADMMIntegrator:
             steps = put_global(steps, self.device_mesh, P())
             ih_last = put_global(ih_last, self.device_mesh, P())
             rose = put_global(rose, self.device_mesh, P())
+            J = put_global(J, self.device_mesh, P("elems"))
         return ADMMState(
             x=x0,
             x_prev=x0,
@@ -134,6 +144,7 @@ class ADMMIntegrator:
             steps=steps,
             ih_last=ih_last,
             rose=rose,
+            J=J,
         )
 
     # ------------------------------------------------------------------
@@ -212,7 +223,7 @@ class ADMMIntegrator:
                     jnp.logical_or(steps <= 2, rose), euler, extrap, None
                 )
 
-            x, x_prev, u_bar, steps, ih_last, rose = state
+            x, x_prev, u_bar, steps, ih_last, rose, J = state
             x_bar = predictor(x, x_prev, steps, rose)
 
             x_prev = x
@@ -237,12 +248,13 @@ class ADMMIntegrator:
                 # gx = D x is carried across iterations so each iteration
                 # performs exactly one gather (dxpu and the primal residual
                 # share it)
-                i, _, x, gx, z, u_bar, ih_start, primal, dual = carry
+                i, _, x, gx, z, u_bar, J, ih_start, primal, dual = carry
                 dxpu = gx + u_bar
                 z_prev = z
-                z, ih0_e = prox_fn(
+                fresh = jnp.logical_and(steps == 0, i == 0)
+                z, ih0_e, J = prox_fn(
                     c["grid"], z, c["xi"], dxpu, c["elem_free"],
-                    prox_tol, prox_iters,
+                    prox_tol, prox_iters, (J, fresh),
                 )
                 ih_cur = block_sum_f64(ih0_e)
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
@@ -252,7 +264,8 @@ class ADMMIntegrator:
                 primal = jnp.sqrt(block_sumsq_f64(gx - z))
                 dual = jnp.sqrt(block_sumsq_f64(z - z_prev))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return i + 1, done, x, gx, z, u_bar, ih_start, primal, dual
+                return (i + 1, done, x, gx, z, u_bar, J, ih_start, primal,
+                        dual)
 
             init = (
                 jnp.zeros((), jnp.int32),
@@ -261,20 +274,20 @@ class ADMMIntegrator:
                 gather(x),
                 z,
                 u_bar,
+                J,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            i, _, x, _, z, u_bar, ih_start, primal, dual = jax.lax.while_loop(
-                cond, body, init
-            )
+            (i, _, x, _, z, u_bar, J, ih_start, primal,
+             dual) = jax.lax.while_loop(cond, body, init)
 
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next,
+                ih_last=ih_start, rose=rose_next, J=J,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -324,7 +337,7 @@ class ADMMIntegrator:
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
             t_diag = tau + dt2w2 * deg
-            x, x_prev, u_bar_l, steps, ih_last, rose = state
+            x, x_prev, u_bar_l, steps, ih_last, rose, J_l = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
             valid_e = valid_l[:, None, None]
@@ -353,18 +366,25 @@ class ADMMIntegrator:
 
             def grad_at(xv):
                 z_l = gather(xv)
-                ih_e, g_e = jax.vmap(
-                    lambda z, xi: _eg(z, xi)
-                )(z_l, xi_l)
+                # frozen-cell monitor fetch (one wide-row gather per vertex;
+                # bit-identical to sample_monitor — same cell, same bilinear
+                # expression) instead of 2^D narrow grid gathers per vertex
+                from ..ops.monitor_grid import gather_cell
+
+                cells_l = jax.vmap(
+                    jax.vmap(gather_cell, in_axes=(None, 0)),
+                    in_axes=(None, 0),
+                )(grid, z_l)
+                ih_e, g_e = jax.vmap(_eg)(z_l, xi_l, cells_l)
                 g = scatter(g_e * free_l)
                 ih = jax.lax.psum(block_sum_f64(ih_e * valid_l), "elems")
                 return ih, g
 
-            def _eg(z, xi):
+            def _eg(z, xi, cells):
                 from ..ops import huang
 
                 return huang.element_energy_grad(
-                    z, xi, grid, mesh.ehat, mesh.comp_mesh
+                    z, xi, None, mesh.ehat, mesh.comp_mesh, cells=cells
                 )
 
             def predictor(x, x_prev, steps, rose):
@@ -407,11 +427,13 @@ class ADMMIntegrator:
             def body(carry):
                 # gx_l carried: one gather per iteration (shared by dxpu
                 # and the primal residual)
-                i, _, x, gx_l, z_l, u_l, ih_start, primal, dual = carry
+                i, _, x, gx_l, z_l, u_l, J_l, ih_start, primal, dual = carry
                 dxpu_l = gx_l + u_l
                 z_prev_l = z_l
-                z_l, ih0_e = prox_fn(
-                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters
+                fresh = jnp.logical_and(steps == 0, i == 0)
+                z_l, ih0_e, J_l = prox_fn(
+                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters,
+                    (J_l, fresh),
                 )
                 ih_cur = jax.lax.psum(
                     block_sum_f64(ih0_e * valid_l), "elems"
@@ -423,7 +445,8 @@ class ADMMIntegrator:
                 primal = jnp.sqrt(norm_sq(gx_l - z_l))
                 dual = jnp.sqrt(norm_sq(z_l - z_prev_l))
                 done = jnp.logical_and(primal < tol, dual < tol)
-                return i + 1, done, x, gx_l, z_l, u_l, ih_start, primal, dual
+                return (i + 1, done, x, gx_l, z_l, u_l, J_l, ih_start,
+                        primal, dual)
 
             init = (
                 jnp.zeros((), jnp.int32),
@@ -432,20 +455,20 @@ class ADMMIntegrator:
                 gather(x),
                 z_l,
                 u_bar_l,
+                J_l,
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
                 jnp.zeros((), jnp.float64),
             )
-            i, _, x, _, z_l, u_bar_l, ih_start, primal, dual = jax.lax.while_loop(
-                cond, body, init
-            )
+            (i, _, x, _, z_l, u_bar_l, J_l, ih_start, primal,
+             dual) = jax.lax.while_loop(cond, body, init)
 
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next,
+                ih_last=ih_start, rose=rose_next, J=J_l,
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -453,7 +476,7 @@ class ADMMIntegrator:
 
         state_specs = ADMMState(
             x=P(), x_prev=P(), u_bar=P("elems"), steps=P(),
-            ih_last=P(), rose=P(),
+            ih_last=P(), rose=P(), J=P("elems"),
         )
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()

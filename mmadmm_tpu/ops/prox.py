@@ -229,10 +229,20 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
         stalled = step_inf <= eps * (1.0 + jnp.max(jnp.abs(zc), axis=1))
         return zc + alpha[:, None] * p_used, gnorm, stalled, J
 
-    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters):
+    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters, J_state=None):
         """grid: MonitorGrid (traced pytree); z, dxpu, free_mask:
         [NF, D+1, D]; xi: [NF, D+1, D] (dummy when not comp_mesh).
-        Returns (z_opt [NF, D+1, D], ih0 [NF])."""
+        Returns (z_opt [NF, D+1, D], ih0 [NF]).
+
+        ``J_state``: optional ``(J_in [NF, n, n], fresh bool scalar)`` —
+        the chord Jacobian carried across prox CALLS (ADMM iterations AND
+        time steps; the reference warm-starts its cached inverse Hessians
+        the same way, ``Mesh.cpp:456-464, 820, 867``). When given, the
+        entry Jacobian build — the dominant fixed cost of a call (~20 ms
+        at Monitor1320) — runs only when ``fresh`` is set (first call of a
+        run); afterwards the per-element slow branch keeps J current by
+        refreshing exactly the elements that reject a chord step. The
+        return gains a third element, the updated J."""
         nf = z.shape[0]
         zf = z.reshape(nf, n)
         dxpuf = dxpu.reshape(nf, n)
@@ -240,7 +250,15 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
 
         cells = gather_cells(grid, z)  # frozen for the whole solve
         ih0 = batched_energy(zf, xi, cells)
-        J = batched_jac(zf, xi, dxpuf, freef, cells)  # chord: entry Jacobian
+        if J_state is None:
+            J = batched_jac(zf, xi, dxpuf, freef, cells)  # entry Jacobian
+        else:
+            J_in, fresh = J_state
+            J = jax.lax.cond(
+                fresh,
+                lambda: batched_jac(zf, xi, dxpuf, freef, cells),
+                lambda: J_in,
+            )
 
         def cond(carry):
             it, _, active, _ = carry
@@ -262,9 +280,12 @@ def make_prox_solver(ehat_const, comp_mesh: bool, w: float, dim: int):
             return it + 1, zc, active, Jc
 
         active0 = jnp.ones(nf, dtype=bool)
-        _, z_out, _, _ = jax.lax.while_loop(
+        _, z_out, _, J_out = jax.lax.while_loop(
             cond, body, (jnp.int32(0), zf, active0, J)
         )
-        return z_out.reshape(nf, dim + 1, dim), ih0
+        z_opt = z_out.reshape(nf, dim + 1, dim)
+        if J_state is None:
+            return z_opt, ih0
+        return z_opt, ih0, J_out
 
     return prox

@@ -161,9 +161,15 @@ def make_prox_pallas(
         """[NFp, lead] -> [lead, R, 128] (R = NFp/128, row-major exact)."""
         return a_flat.T.reshape(lead, -1, _LANES)
 
-    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters):
+    def prox(grid, z, xi, dxpu, free_mask, tol, max_iters, J_state=None):
         """Same contract as make_prox_solver's prox: z/dxpu/free
-        [NF, D+1, D] -> (z_opt [NF, D+1, D], ih0 [NF])."""
+        [NF, D+1, D] -> (z_opt [NF, D+1, D], ih0 [NF]).
+
+        ``J_state`` is accepted for API parity with the vmap backend's
+        chord-Jacobian carry, but this kernel keeps its Jacobian
+        VMEM-resident per tile and rebuilds it at entry (an in-VMEM
+        rebuild is cheap; carrying [NF, n, n] through HBM is not), so the
+        carried J is returned untouched."""
         nf = z.shape[0]
         dtype = z.dtype
         nfp = -(-nf // TILE) * TILE
@@ -238,6 +244,8 @@ def make_prox_pallas(
 
         z_out = zt_out.reshape(n, nfp).T[:nf].reshape(nf, dim + 1, dim)
         ih0 = ih0t.reshape(nfp)[:nf]
-        return z_out, ih0
+        if J_state is None:
+            return z_out, ih0
+        return z_out, ih0, J_state[0]
 
     return prox

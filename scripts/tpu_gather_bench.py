@@ -30,14 +30,21 @@ segj = jnp.asarray(seg)
 vals = jnp.asarray(rng.standard_normal((NF * (D + 1), D)).astype(np.float32))
 
 
+def _sync(r):
+    """block_until_ready is not a reliable fence on the axon backend —
+    force a one-element host readback, which must wait for the program."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return jax.device_get(leaf.ravel()[:1])
+
+
 def timeit(label, fn, *args, n=30):
     f = jax.jit(fn)
     r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)  # one readback fences the whole enqueued stream
     print(f"  {label:40s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms", flush=True)
 
 

@@ -38,17 +38,26 @@ z = gather_elements(x, mesh.F)
 dxpu = z + state.u_bar
 
 
+def _sync(r):
+    """block_until_ready is NOT a reliable fence on the axon backend
+    (measured: 0.05 ms for a 73 MB gather) — force a host readback of one
+    element, which cannot complete before the producing program does."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np_leaf = jax.device_get(leaf.ravel()[:1] if leaf.ndim else leaf)
+    return np_leaf
+
+
 def timeit(label, fn, *args, n=20):
     f = jax.jit(fn)
     t0 = time.perf_counter()
     r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     print(f"  {label:34s} compile+1 {time.perf_counter()-t0:7.1f} s",
           flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)  # one readback fences the whole enqueued stream
     dt = (time.perf_counter() - t0) / n
     print(f"  {label:34s} {dt*1e3:9.2f} ms", flush=True)
     return dt
@@ -81,6 +90,6 @@ for k in (1, 5, 50):
 t0 = time.perf_counter()
 for _ in range(5):
     state, info = integ.step(state)
-jax.block_until_ready(state.x)
+_sync(state.x)
 print(f"  full step                         {(time.perf_counter()-t0)/5*1e3:9.2f} ms", flush=True)
 print("  admm iters last:", int(info.n_iters), flush=True)

@@ -42,18 +42,25 @@ from mmadmm_tpu.ops.prox_pallas import make_prox_pallas
 pp = make_prox_pallas(mesh.ehat, mesh.comp_mesh, mesh.w, mesh.dim)
 backends = {"vmap": mesh.prox_fn, "pallas": pp}
 
+def _sync(r):
+    """block_until_ready is not a reliable fence on the axon backend —
+    force a one-element host readback, which must wait for the program."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return jax.device_get(leaf.ravel()[:1])
+
+
 for label, fn in backends.items():
     f = jax.jit(fn, static_argnums=(5, 6))
     t0 = time.perf_counter()
     out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.perf_counter() - t0
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
         out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    _sync(out)  # one readback fences the whole enqueued stream
+    times = [(time.perf_counter() - t0) / n]
     z_out, ih0 = out
     print(
         f"{label:8s} compile+first={compile_s:7.2f}s "
