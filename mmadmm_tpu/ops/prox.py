@@ -108,9 +108,15 @@ def make_element_kernels(ehat_const, comp_mesh: bool, w: float, dim: int):
 
     def solve_dir(J, g):
         """Safeguarded solve: unrolled LDL^T (pure VPU; TPU has no f64
-        batched-LU kernel), damped-gradient fallback on failure."""
+        batched-LU kernel), damped-gradient fallback on failure.
+
+        The finiteness test is a dtype-typed min rather than
+        ``jnp.all(jnp.isfinite(p))``: Mosaic lowers bool reductions via an
+        f64 ``minimumf`` it cannot compile (observed on the real-TPU
+        Pallas build); the f32 min is bit-identical in meaning."""
         p = ldlt_solve(J, -g)
-        bad = ~jnp.all(jnp.isfinite(p))
+        finite = jnp.isfinite(p).astype(p.dtype)
+        bad = jnp.min(finite) < jnp.asarray(0.5, p.dtype)
         return jnp.where(bad, -g / (w * w), p)
 
     def newton_dir(z_flat, xi, dxpu, free, cells, J):
