@@ -27,14 +27,20 @@ import sys
 import time
 
 # time-to-converge, 1-thread C++ (Results/<cfg>/Ih0.txt last row;
-# cross-checked vs Data/<grp>/Single<cfg>.json — see BASELINE.md)
+# cross-checked vs Data/<grp>/Single<cfg>.json — see BASELINE.md).
+# 3DMonitor1{10,20} ran their full 100 steps without a DtTol stop, so the
+# last-row wall time IS the 100-step time; 3DMonitor140 ships no trace,
+# its number is Data/3DMonitor1/Single3DMonitor140.json (full run, ADMM).
 REF_SECONDS = {
     "Monitor1320": 52.97,
-    "Monitor1160": 13.71,
+    "Monitor1160": 12.73,  # Results/Monitor1160/Ih0.txt last row
     "Monitor2320": 169.1,
     "Monitor2160": 21.0,
     "Monitor3320": 96.5,
     "Monitor3160": 7.21,
+    "3DMonitor110": 4.25,
+    "3DMonitor120": 33.34,
+    "3DMonitor140": 397.6,
 }
 # the functional value the reference's DtTol stop landed on (same
 # Ih0.txt last row). Our Newton-based prox keeps finding genuine descent
@@ -50,6 +56,9 @@ REF_FINAL_IH = {
     "Monitor2160": 2.60876,
     "Monitor3320": 0.154967,
     "Monitor3160": 0.132482,
+    "3DMonitor110": 1.544,    # Results/3DMonitor110/Ih0.txt last row
+    "3DMonitor120": 1.54497,  # Results/3DMonitor120/Ih0.txt last row
+    # 3DMonitor140: no recorded trace — time_to_converge metric instead
 }
 T0 = time.perf_counter()
 
@@ -89,15 +98,23 @@ def run_config(name: str, chunk: int = 8):
     ih_prev = None
     steps = 0
     done = False
-    t_target = None  # wall seconds when Ih first reached the ref's final
+    # wall seconds of the LAST downward crossing of the ref's final Ih:
+    # Ih is not monotone (the predictor guard exists because Ihstart can
+    # rise), so a transient dip must not count as "reached quality" —
+    # reset on any step back above target
+    t_target = None
     while steps < cfg.n_steps and not done:
         state, infos = integ.multi_step(state, chunk)
         ihs = [float(v) for v in infos.ih_start]
         now = time.perf_counter() - t0  # chunk boundary (conservative)
         for ih in ihs:
             steps += 1
-            if t_target is None and target is not None and ih <= target:
-                t_target = now
+            if target is not None:
+                if ih <= target:
+                    if t_target is None:
+                        t_target = now
+                else:
+                    t_target = None
             if ih_prev is not None and abs((ih - ih_prev) / cfg.dt) < cfg.dt_tol:
                 done = True
                 break

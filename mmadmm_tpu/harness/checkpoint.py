@@ -107,10 +107,23 @@ def resume_experiment(path: str, base_dir: str = "."):
         updates["ih_last"] = jnp.asarray(arrays["ih_last"], dtype=jnp.float64)
     if hasattr(state, "rose") and "rose" in arrays:
         updates["rose"] = jnp.asarray(arrays["rose"], dtype=bool)
-    if hasattr(state, "J") and "J" in arrays:
-        Jv = jnp.asarray(arrays["J"], dtype=dtype)
-        if Jv.shape == state.J.shape:
-            updates["J"] = Jv
+    if hasattr(state, "J"):
+        j_restored = False
+        if "J" in arrays:
+            Jv = jnp.asarray(arrays["J"], dtype=dtype)
+            if Jv.shape == state.J.shape:
+                updates["J"] = Jv
+                j_restored = True
+        if hasattr(state, "j_fresh"):
+            # J not restorable (pre-J checkpoint, single<->sharded shape
+            # mismatch, backend change): force a rebuild at the next prox
+            # call instead of silently iterating against a zero Jacobian.
+            # A checkpoint taken before any step (steps==0) holds the
+            # zeros placeholder, so it needs the rebuild too.
+            steps_taken = int(arrays.get("steps", 0))
+            updates["j_fresh"] = jnp.asarray(
+                (not j_restored) or steps_taken == 0, dtype=bool
+            )
     state = state._replace(**updates)
     return cfg, mesh, integ, state
 

@@ -58,6 +58,11 @@ class ADMMState(NamedTuple):
     # Mesh.cpp:456-464); built fresh on the first call of a run, kept
     # current afterwards by the prox slow branch's per-element refresh
     J: jnp.ndarray
+    # bool scalar: J must be (re)built at the next prox call. True from
+    # init_state; set True by checkpoint resume when J could not be
+    # restored (pre-J checkpoints, single<->sharded shape mismatch) —
+    # without it a zero J silently degrades the prox to fallback steps
+    j_fresh: jnp.ndarray
 
 
 class StepInfo(NamedTuple):
@@ -123,9 +128,10 @@ class ADMMIntegrator:
         ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
         rose = jnp.zeros((), dtype=bool)
         nn = self.mesh.dim * (self.mesh.dim + 1)
-        # zeros + the fresh flag at (steps==0, i==0) — the first prox call
-        # of a run builds the real entry Jacobian
+        # zeros + j_fresh=True — the first prox call of a run builds the
+        # real entry Jacobian
         J = jnp.zeros((n_elem, nn, nn), dtype=self.mesh.dtype)
+        j_fresh = jnp.ones((), dtype=bool)
         if self.shards is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -137,6 +143,7 @@ class ADMMIntegrator:
             ih_last = put_global(ih_last, self.device_mesh, P())
             rose = put_global(rose, self.device_mesh, P())
             J = put_global(J, self.device_mesh, P("elems"))
+            j_fresh = put_global(j_fresh, self.device_mesh, P())
         return ADMMState(
             x=x0,
             x_prev=x0,
@@ -145,6 +152,7 @@ class ADMMIntegrator:
             ih_last=ih_last,
             rose=rose,
             J=J,
+            j_fresh=j_fresh,
         )
 
     # ------------------------------------------------------------------
@@ -223,7 +231,7 @@ class ADMMIntegrator:
                     jnp.logical_or(steps <= 2, rose), euler, extrap, None
                 )
 
-            x, x_prev, u_bar, steps, ih_last, rose, J = state
+            x, x_prev, u_bar, steps, ih_last, rose, J, j_fresh = state
             x_bar = predictor(x, x_prev, steps, rose)
 
             x_prev = x
@@ -251,7 +259,7 @@ class ADMMIntegrator:
                 i, _, x, gx, z, u_bar, J, ih_start, primal, dual = carry
                 dxpu = gx + u_bar
                 z_prev = z
-                fresh = jnp.logical_and(steps == 0, i == 0)
+                fresh = jnp.logical_and(j_fresh, i == 0)
                 z, ih0_e, J = prox_fn(
                     c["grid"], z, c["xi"], dxpu, c["elem_free"],
                     prox_tol, prox_iters, (J, fresh),
@@ -288,6 +296,7 @@ class ADMMIntegrator:
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
                 ih_last=ih_start, rose=rose_next, J=J,
+                j_fresh=jnp.zeros((), dtype=bool),
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -337,7 +346,8 @@ class ADMMIntegrator:
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
             t_diag = tau + dt2w2 * deg
-            x, x_prev, u_bar_l, steps, ih_last, rose, J_l = state
+            (x, x_prev, u_bar_l, steps, ih_last, rose, J_l,
+             j_fresh) = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
             valid_e = valid_l[:, None, None]
@@ -430,7 +440,7 @@ class ADMMIntegrator:
                 i, _, x, gx_l, z_l, u_l, J_l, ih_start, primal, dual = carry
                 dxpu_l = gx_l + u_l
                 z_prev_l = z_l
-                fresh = jnp.logical_and(steps == 0, i == 0)
+                fresh = jnp.logical_and(j_fresh, i == 0)
                 z_l, ih0_e, J_l = prox_fn(
                     grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters,
                     (J_l, fresh),
@@ -469,6 +479,7 @@ class ADMMIntegrator:
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
                 ih_last=ih_start, rose=rose_next, J=J_l,
+                j_fresh=jnp.zeros((), dtype=bool),
             )
             return new_state, StepInfo(
                 ih_start=ih_start, primal=primal, dual=dual, n_iters=i
@@ -476,7 +487,7 @@ class ADMMIntegrator:
 
         state_specs = ADMMState(
             x=P(), x_prev=P(), u_bar=P("elems"), steps=P(),
-            ih_last=P(), rose=P(), J=P("elems"),
+            ih_last=P(), rose=P(), J=P("elems"), j_fresh=P(),
         )
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()
