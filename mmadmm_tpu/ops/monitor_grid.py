@@ -53,13 +53,23 @@ class MonitorGrid:
     values: jnp.ndarray
     axes: tuple
     cell_table: jnp.ndarray | None = None
+    # STATIC (trace-time) flag: every grid node holds the same D*D tensor
+    # (a constant monitor, e.g. MEx0 identity — the entire 3DMonitor1
+    # baseline family). gather_cell then broadcasts one row instead of
+    # gathering 2^D corner tensors per vertex; bounds still come from the
+    # (tiny) axis arrays, so sampled values stay BIT-IDENTICAL to the
+    # general path. Detected in build_monitor_grid.
+    constant: bool = False
 
     def tree_flatten(self):
-        return (self.values, self.axes, self.cell_table), None
+        return (self.values, self.axes, self.cell_table), self.constant
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(values=children[0], axes=children[1], cell_table=children[2])
+        return cls(
+            values=children[0], axes=children[1], cell_table=children[2],
+            constant=aux,
+        )
 
     @property
     def dim(self):
@@ -106,7 +116,18 @@ def build_monitor_grid(
             grid = np.swapaxes(grid, 1, 2)
 
     grid = _smooth_grid(grid, num_smooth)
+    # constant-monitor detection: NN scatter assigns every grid node some
+    # vertex's tensor and Jacobi smoothing is an affine average, so a
+    # constant monitor yields a bitwise-constant grid
+    is_constant = bool(np.all(grid.reshape(-1, D * D) == grid.reshape(-1, D * D)[0]))
     cell_table = None
+    if is_constant:
+        return MonitorGrid(
+            values=jnp.asarray(grid, dtype=dtype),
+            axes=tuple(jnp.asarray(a, dtype=dtype) for a in axes),
+            cell_table=None,
+            constant=True,
+        )
     if D == 2:
         ax, ay = axes
         v00 = grid[:-1, :-1]  # [ny, nx, DD]
@@ -245,6 +266,31 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
     """Fetch the interpolation cell for one point: corner values
     [2^D, D*D] + bounds. vmap over points."""
     D = grid.dim
+    if grid.constant:
+        # constant grid (static flag): all corner tensors equal grid node 0
+        # — broadcast it instead of 2^D big-tensor gathers. Bounds still
+        # come from the [n+1] axis arrays (trivially cached), keeping
+        # sample_frozen's arithmetic — and its results — bit-identical to
+        # the general path.
+        flat0 = grid.values.reshape(-1, D * D)[0]
+        vals = jnp.broadcast_to(flat0, (2**D, D * D))
+        if D == 2:
+            ax, ay = grid.axes
+            xi = _cell_index(pnt[0], ax)
+            yi = _cell_index(pnt[1], ay)
+            return dict(
+                vals=vals, x0=ax[xi], x1=ax[xi + 1], y0=ay[yi], y1=ay[yi + 1]
+            )
+        ax, ay, az = grid.axes
+        xi = _cell_index(pnt[0], ax)
+        yi = _cell_index(pnt[1], ay)
+        zi = _cell_index(pnt[2], az)
+        return dict(
+            vals=vals,
+            x0=ax[xi], x1=ax[xi + 1],
+            y0=ay[yi], y1=ay[yi + 1],
+            z0=az[zi], z1=az[zi + 1],
+        )
     if D == 2:
         ax, ay = grid.axes
         xi = _cell_index(pnt[0], ax)
