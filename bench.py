@@ -41,6 +41,9 @@ REF_SECONDS = {
     "3DMonitor110": 4.25,
     "3DMonitor120": 33.34,
     "3DMonitor140": 397.6,
+    "3DMonitor210": 7.54,
+    "3DMonitor220": 42.38,
+    "3DMonitor240": 350.9,  # Data/3DMonitor2/Single3DMonitor240.json
 }
 # the functional value the reference's DtTol stop landed on (same
 # Ih0.txt last row). Our Newton-based prox keeps finding genuine descent
@@ -59,6 +62,9 @@ REF_FINAL_IH = {
     "3DMonitor110": 1.544,    # Results/3DMonitor110/Ih0.txt last row
     "3DMonitor120": 1.54497,  # Results/3DMonitor120/Ih0.txt last row
     # 3DMonitor140: no recorded trace — time_to_converge metric instead
+    "3DMonitor210": 10.0217,  # Results/3DMonitor210/Ih0.txt last row
+    "3DMonitor220": 10.0692,  # Results/3DMonitor220/Ih0.txt last row
+    # 3DMonitor240: no recorded trace
 }
 T0 = time.perf_counter()
 

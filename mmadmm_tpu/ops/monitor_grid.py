@@ -44,10 +44,17 @@ class MonitorGrid:
 
     values: [(nz+1)?, ny+1, nx+1, D*D] (2D: [ny+1, nx+1, 4])
     axes:   tuple of per-axis node coordinate arrays (x, y[, z])
-    cell_table: 2D only — [ny*nx, 4*DD + 4] rows of
+    cell_table:
+      2D — [ny*nx, 4*DD + 4] rows of
       (v00, v10, v01, v11, x0, x1, y0, y1) per cell, so freezing a cell is
-      ONE wide-row gather instead of 8 narrow ones (None in 3D: the 8x
-      table would be GBs at production grid sizes).
+      ONE wide-row gather instead of 4 narrow ones.
+      3D (symmetric monitor, every shipped one is SPD) — [3, ncells, 16]:
+      the 8 corner tensors compressed to 6 unique entries each
+      (48 f32/cell) and split into three 16-f32 strips (TPU row gathers
+      cliff above 64 B/row — measured in 2D), so freezing a cell is THREE
+      wide-row gathers instead of 8 narrow ones; cell bounds are gathered
+      from the tiny 1-D axis arrays. None when the table would exceed
+      ~1 GB (very fine 3D grids) — the narrow path remains.
     """
 
     values: jnp.ndarray
@@ -157,6 +164,32 @@ def build_monitor_grid(
             np.concatenate(parts, axis=-1).reshape(ny * nx, width),
             dtype=dtype,
         )
+    else:  # D == 3
+        symmetric = (
+            np.array_equal(grid[..., 1], grid[..., 3])
+            and np.array_equal(grid[..., 2], grid[..., 6])
+            and np.array_equal(grid[..., 5], grid[..., 7])
+        )
+        ncells = (grid.shape[0] - 1) ** 3
+        if symmetric and ncells * 48 * np.dtype("float32").itemsize < 2**30:
+            # 6 unique entries x 8 corners = 48 f32/cell, as 3 strips of 16
+            # (row-gather cliff above 64 B). Corner order matches the
+            # narrow path's vals stack; gather_cell rebuilds the full 3x3
+            # bit-exactly from (m00, m01, m02, m11, m12, m22).
+            g = grid
+            corners = [
+                g[:-1, :-1, :-1], g[:-1, :-1, 1:],
+                g[:-1, 1:, :-1], g[:-1, 1:, 1:],
+                g[1:, :-1, :-1], g[1:, :-1, 1:],
+                g[1:, 1:, :-1], g[1:, 1:, 1:],
+            ]
+            sym_idx = [0, 1, 2, 4, 5, 8]
+            flat = np.concatenate(
+                [c[..., sym_idx] for c in corners], axis=-1
+            ).reshape(ncells, 3, 16)
+            cell_table = jnp.asarray(
+                np.ascontiguousarray(flat.transpose(1, 0, 2)), dtype=dtype
+            )
     return MonitorGrid(
         values=jnp.asarray(grid, dtype=dtype),
         axes=tuple(jnp.asarray(a, dtype=dtype) for a in axes),
@@ -324,15 +357,27 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
     xi = _cell_index(pnt[0], ax)
     yi = _cell_index(pnt[1], ay)
     zi = _cell_index(pnt[2], az)
-    g = grid.values
-    vals = jnp.stack(
-        [
-            g[zi, yi, xi], g[zi, yi, xi + 1],
-            g[zi, yi + 1, xi], g[zi, yi + 1, xi + 1],
-            g[zi + 1, yi, xi], g[zi + 1, yi, xi + 1],
-            g[zi + 1, yi + 1, xi], g[zi + 1, yi + 1, xi + 1],
-        ]
-    )  # [8, DD]
+    if grid.cell_table is not None:
+        # symmetric strip table: 3 wide-row gathers (16 f32 each) replace
+        # the 8 narrow corner gathers below; same grid entries, so the
+        # reconstructed tensors are bit-identical
+        n = ax.shape[0] - 1
+        ci = (zi * n + yi) * n + xi
+        t = grid.cell_table
+        row = jnp.concatenate([t[0][ci], t[1][ci], t[2][ci]])  # [48]
+        v6 = row.reshape(8, 6)  # (m00, m01, m02, m11, m12, m22) per corner
+        full = jnp.array([0, 1, 2, 1, 3, 4, 2, 4, 5], dtype=jnp.int32)
+        vals = v6[:, full]  # [8, 9] row-major, m10:=m01 etc bit-equal
+    else:
+        g = grid.values
+        vals = jnp.stack(
+            [
+                g[zi, yi, xi], g[zi, yi, xi + 1],
+                g[zi, yi + 1, xi], g[zi, yi + 1, xi + 1],
+                g[zi + 1, yi, xi], g[zi + 1, yi, xi + 1],
+                g[zi + 1, yi + 1, xi], g[zi + 1, yi + 1, xi + 1],
+            ]
+        )  # [8, DD]
     return dict(
         vals=vals,
         x0=ax[xi], x1=ax[xi + 1],

@@ -34,6 +34,52 @@ def test_frozen_equals_direct_in_cell(dim):
         )
 
 
+def test_3d_cell_table_bit_matches_narrow_path():
+    """The 3-strip symmetric 3D cell table reconstructs exactly the corner
+    tensors the narrow 8-gather path reads."""
+    X, F, _ = generate_uniform_rect_mesh(
+        3, 6, 6, 6, 0, 1, 0, 1, 0, 1, NodeType.BOUNDARY_FIXED
+    )
+    grid = build_monitor_grid(X, get_monitor(3, 3))  # radial ring: varying
+    assert not grid.constant
+    assert grid.cell_table is not None and grid.cell_table.shape[0] == 3
+    from mmadmm_tpu.ops.monitor_grid import MonitorGrid
+
+    narrow = MonitorGrid(values=grid.values, axes=grid.axes, cell_table=None)
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(0.02, 0.98, size=(40, 3)))
+    for p in pts:
+        ct = gather_cell(grid, p)
+        nt = gather_cell(narrow, p)
+        assert np.array_equal(np.asarray(ct["vals"]), np.asarray(nt["vals"]))
+        for k in ("x0", "x1", "y0", "y1", "z0", "z1"):
+            assert float(ct[k]) == float(nt[k])
+
+
+def test_constant_monitor_grid_detected_and_bit_exact():
+    """Identity monitor (the 3DMonitor1 family) -> constant grid flag; the
+    broadcast fast path returns exactly what the gather path would."""
+    X, F, _ = generate_uniform_rect_mesh(
+        3, 5, 5, 5, 0, 1, 0, 1, 0, 1, NodeType.BOUNDARY_FIXED
+    )
+    grid = build_monitor_grid(X, get_monitor(3, 0))  # MEx0: identity
+    assert grid.constant
+    from mmadmm_tpu.ops.monitor_grid import MonitorGrid
+
+    general = MonitorGrid(values=grid.values, axes=grid.axes, cell_table=None)
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, size=(20, 3)))
+    for p in pts:
+        cf = gather_cell(grid, p)
+        cg = gather_cell(general, p)
+        assert np.array_equal(np.asarray(cf["vals"]), np.asarray(cg["vals"]))
+        for k in ("x0", "x1", "y0", "y1", "z0", "z1"):
+            assert float(cf[k]) == float(cg[k])
+        assert np.array_equal(
+            np.asarray(sample_frozen(cf, p)), np.asarray(sample_frozen(cg, p))
+        )
+
+
 def test_frozen_extrapolation_is_continuous():
     """Moving slightly out of the frozen cell gives values continuous with
     the in-cell samples (linear extrapolation, no jumps)."""
