@@ -35,6 +35,7 @@ compiled program; dual state u_bar persists across time steps (warm start).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
@@ -85,6 +86,7 @@ class ADMMIntegrator:
         grad_use: bool = False,
         sticky_guard: bool = False,
         device_mesh=None,
+        halo: bool | None = None,
     ):
         self.mesh = mesh
         self.dt = float(dt)
@@ -102,6 +104,14 @@ class ADMMIntegrator:
         # instead of re-enabling extrapolation when Ih falls again
         self.sticky_guard = bool(sticky_guard)
         self.device_mesh = device_mesh
+        # owner-computes halo exchange in the sharded step (SURVEY §7):
+        # per ADMM iteration only the shared-cut partial sums are
+        # all-reduced instead of the full node field. Bit-compatible with
+        # the full-psum path (each node's sum has the same contributors);
+        # MMADMM_HALO=0 restores the full all-reduce for A/B runs.
+        if halo is None:
+            halo = os.environ.get("MMADMM_HALO", "1") != "0"
+        self.halo = bool(halo)
         self._multi_cache: dict[int, Any] = {}
         if device_mesh is None:
             self.shards = None
@@ -339,9 +349,11 @@ class ADMMIntegrator:
         prox_fn = mesh.prox_fn
 
         use_dense = shards.dense_idx is not None
+        halo = self.halo
 
         def local_step(state, F_l, xi_l, free_l, valid_l, perm_l, seg_l,
-                       dense_l, grid, deg):
+                       dense_l, ctrb_l, shared_ids, is_shared, shared_slot,
+                       grid, deg):
             # replicated node-degree vector -> x-update diagonal
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
@@ -350,22 +362,40 @@ class ADMMIntegrator:
              j_fresh) = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
+            ctrb_l = ctrb_l.reshape(-1)
             valid_e = valid_l[:, None, None]
 
-            def scatter(vals_l):
+            def local_partial(vals_l):
                 flat = (vals_l * valid_e).reshape(L * dp1, dim)
                 if use_dense:
                     from ..ops.scatter import scatter_add_dense
 
-                    part = scatter_add_dense(
+                    return scatter_add_dense(
                         flat.reshape(L, dp1, dim), dense_l.reshape(n_pnts, -1)
                     )
-                else:
-                    part = jax.ops.segment_sum(
-                        flat[perm_l], seg_l, num_segments=n_pnts,
-                        indices_are_sorted=True,
-                    )
-                return jax.lax.psum(part, "elems")
+                return jax.ops.segment_sum(
+                    flat[perm_l], seg_l, num_segments=n_pnts,
+                    indices_are_sorted=True,
+                )
+
+            def scatter(vals_l):
+                part = local_partial(vals_l)
+                if not halo:
+                    return jax.lax.psum(part, "elems")
+                # owner-computes: a node touched by ONE shard has its full
+                # sum locally (other shards contribute exact zeros in the
+                # full-psum path); only the shared cut set C needs the
+                # all-reduce — [C, D] traffic per call instead of [NP, D].
+                # Rows private to OTHER shards are left incomplete; they
+                # are never gathered here and are masked out of the
+                # end-of-step ownership psum.
+                shared_sum = jax.lax.psum(part[shared_ids], "elems")
+                padded = jnp.concatenate(
+                    [shared_sum, jnp.zeros((1, dim), dtype=part.dtype)]
+                )
+                return jnp.where(
+                    is_shared[:, None] > 0, padded[shared_slot], part
+                )
 
             def gather(xv):
                 return xv[F_l]
@@ -473,6 +503,13 @@ class ADMMIntegrator:
             (i, _, x, _, z_l, u_bar_l, J_l, ih_start, primal,
              dual) = jax.lax.while_loop(cond, body, init)
 
+            if halo:
+                # rebuild the replicated node field ONCE per outer step:
+                # every node has exactly one owner (contrib), whose rows
+                # are complete — private by locality, shared by the loop's
+                # C-buffer psum — so this psum adds one value + zeros
+                x = jax.lax.psum(x * ctrb_l[:, None], "elems")
+
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
@@ -503,7 +540,8 @@ class ADMMIntegrator:
             in_specs=(
                 state_specs, P("elems"), P("elems"), P("elems"),
                 P("elems"), P("elems", None), P("elems", None),
-                P("elems", None, None), P(), P(),
+                P("elems", None, None), P("elems", None),
+                P(), P(), P(), P(), P(),
             ),
             out_specs=(state_specs, info_specs),
             check_vma=False,
@@ -520,13 +558,16 @@ class ADMMIntegrator:
         arg_specs = (
             P("elems"), P("elems"), P("elems"), P("elems"),
             P("elems", None), P("elems", None), P("elems", None, None),
-            P(), P(),
+            P("elems", None),
+            P(), P(), P(), P(), P(),
         )
         self._sharded_args = tuple(
             put_global(a, dmesh, s)
             for a, s in zip(
                 (shards.F, shards.xi, shards.elem_free, shards.valid,
-                 shards.perm, shards.seg, dense_arg, mesh.grid, mesh.deg),
+                 shards.perm, shards.seg, dense_arg, shards.contrib,
+                 shards.shared_ids, shards.is_shared, shards.shared_slot,
+                 mesh.grid, mesh.deg),
                 arg_specs,
             )
         )

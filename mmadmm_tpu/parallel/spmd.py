@@ -21,7 +21,16 @@ import jax
 class ElemShards(NamedTuple):
     """Global padded element arrays, partition-ordered. Leading axis NFp is
     sharded over the ``"elems"`` mesh axis; ``perm``/``seg`` carry one
-    per-shard plan per row (leading axis = shard index)."""
+    per-shard plan per row (leading axis = shard index).
+
+    The halo plan (``shared_ids``/``is_shared``/``shared_slot``/``contrib``)
+    supports the owner-computes ADMM step (SURVEY §7 "halo-consistent
+    ADMM"): nodes touched by >= 2 shards form the SHARED cut set C; inside
+    the ADMM loop only the [C, D] partial-sum buffer is all-reduced
+    (O(cut) per iteration instead of the full [NP, D] field), private
+    nodes being complete locally; the replicated x is rebuilt once per
+    outer step from the per-shard ownership mask ``contrib`` (exactly one
+    owner per node)."""
 
     F: jax.Array  # [NFp, D+1] int32
     xi: jax.Array  # [NFp, D+1, D]
@@ -29,7 +38,11 @@ class ElemShards(NamedTuple):
     valid: jax.Array  # [NFp] 1.0 for real elements, 0.0 for padding
     perm: jax.Array  # [S, L*(D+1)] int32, L = NFp // S
     seg: jax.Array  # [S, L*(D+1)] int32
-    dense_idx: jax.Array | None  # [S, NP, K] degree-padded plan (2D only)
+    dense_idx: jax.Array | None  # [S, NP, K] degree-padded plan
+    shared_ids: jax.Array  # [C] int32 — node ids touched by >= 2 shards
+    is_shared: jax.Array  # [NP] f32 1.0 on shared nodes
+    shared_slot: jax.Array  # [NP] int32 — index into C, C for private
+    contrib: jax.Array  # [S, NP] f32 — 1.0 where this shard owns the node
 
     @property
     def n_shards(self) -> int:
@@ -132,22 +145,45 @@ def build_elem_shards(
         perms[s] = p
         segs[s] = flat[p]
 
-    # degree-padded per-shard gather plans (2D: K is small; 3D's K x NP x S
-    # table would be too large, segment_sum is used instead)
+    # degree-padded per-shard gather plans. Used for 2D and 3D alike (the
+    # single-device path already uses the dense plan in 3D; node degree in
+    # a tet mesh is larger but bounded), gated by total table size — the
+    # S x NP x K int32 table replicates NP per shard, so very fine meshes
+    # on many shards fall back to the sorted segment_sum path.
     dense_idx = None
-    D = xi.shape[-1]
-    if D == 2:
-        from ..geometry.topology import dense_scatter_plan
+    from ..geometry.topology import dense_scatter_plan
 
-        plans = []
-        for s in range(n_shards):
-            idx, _ = dense_scatter_plan(F_o[s * L : (s + 1) * L], n_pnts)
-            plans.append(idx)
-        K = max(p.shape[1] for p in plans)
+    plans = []
+    for s in range(n_shards):
+        idx, _ = dense_scatter_plan(F_o[s * L : (s + 1) * L], n_pnts)
+        plans.append(idx)
+    K = max(p.shape[1] for p in plans)
+    if n_shards * n_pnts * K * 4 < 2**29:  # 512 MB gate
         stacked = np.full((n_shards, n_pnts, K), L * dp1, dtype=np.int32)
         for s, p in enumerate(plans):
             stacked[s, :, : p.shape[1]] = p
         dense_idx = jnp.asarray(stacked)
+
+    # ---- halo plan: shared cut set + per-node ownership -------------
+    # "touched" includes padding rows (copies of element 0): those shards
+    # READ element-0's node coordinates too, so its nodes must carry
+    # reduced values wherever padding lives.
+    touch = np.zeros((n_shards, n_pnts), dtype=bool)
+    for s in range(n_shards):
+        touch[s, np.unique(F_o[s * L : (s + 1) * L])] = True
+    count = touch.sum(axis=0)
+    shared = count >= 2
+    shared_ids = np.nonzero(shared)[0].astype(np.int32)
+    n_c = shared_ids.shape[0]
+    shared_slot = np.full(n_pnts, n_c, dtype=np.int32)
+    shared_slot[shared_ids] = np.arange(n_c, dtype=np.int32)
+    # owner = lowest shard touching the node (shard 0 for untouched ones,
+    # which then reproduces the zero-contribution x-update row exactly)
+    owner = np.where(
+        count > 0, np.argmax(touch, axis=0), 0
+    ).astype(np.int32)
+    contrib = np.zeros((n_shards, n_pnts), dtype=np.float64)
+    contrib[owner, np.arange(n_pnts)] = 1.0
 
     return ElemShards(
         F=jnp.asarray(F_o.astype(np.int32)),
@@ -157,4 +193,8 @@ def build_elem_shards(
         perm=jnp.asarray(perms),
         seg=jnp.asarray(segs),
         dense_idx=dense_idx,
+        shared_ids=jnp.asarray(shared_ids),
+        is_shared=jnp.asarray(shared.astype(np.float64), dtype=dtype),
+        shared_slot=jnp.asarray(shared_slot),
+        contrib=jnp.asarray(contrib, dtype=dtype),
     )

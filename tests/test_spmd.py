@@ -49,6 +49,31 @@ def test_sharded_3d_matches_single():
 
 
 @pytest.mark.slow
+def test_halo_matches_full_psum():
+    """Owner-computes halo step == full-field all-reduce step to reduction
+    order (same contributors per node sum), incl. ADMM iteration counts."""
+    from mmadmm_tpu.integrators.admm import ADMMIntegrator
+    from mmadmm_tpu.parallel import make_device_mesh
+
+    mesh, _ = build(1)
+    dmesh = make_device_mesh(4)
+    kw = dict(admm_iters=10, tol=1e-3, device_mesh=dmesh)
+    integ_halo = ADMMIntegrator(mesh, 5e-3, halo=True, **kw)
+    integ_full = ADMMIntegrator(mesh, 5e-3, halo=False, **kw)
+    sh, sf = integ_halo.init_state(), integ_full.init_state()
+    for _ in range(4):
+        sh, ih = integ_halo.step(sh)
+        sf, if_ = integ_full.step(sf)
+        assert int(ih.n_iters) == int(if_.n_iters)
+        np.testing.assert_allclose(
+            float(ih.ih_start), float(if_.ih_start), rtol=1e-13
+        )
+    np.testing.assert_allclose(
+        np.asarray(sh.x), np.asarray(sf.x), rtol=1e-12, atol=1e-15
+    )
+
+
+@pytest.mark.slow
 def test_sharded_uneven_padding():
     # 6x6 shoulder-free rect: 144 elements; 144 % 5 != 0 -> padding path
     _, integ1 = build(1)
