@@ -156,6 +156,31 @@ def main() -> None:
         f"{t_target}s; DtTol stop at {wall:.2f}s / {steps} steps "
         f"(budget left {left:.0f}s)"
     )
+    # machine-readable record of every measured config (the one-line
+    # driver contract below only carries the invoked config; this file is
+    # the cross-round perf table)
+    try:
+        rec_path = os.path.join(os.path.dirname(__file__) or ".",
+                                "Results", "tpu_bench.json")
+        os.makedirs(os.path.dirname(rec_path), exist_ok=True)
+        records = {}
+        if os.path.exists(rec_path):
+            with open(rec_path) as f:
+                records = json.load(f)
+        records[name] = {
+            "t_to_ref_quality_s": None if t_target is None else round(t_target, 3),
+            "t_dttol_stop_s": round(wall, 3),
+            "steps": steps,
+            "final_ih": ih,
+            "ref_seconds": ref,
+            "ref_final_ih": REF_FINAL_IH.get(name),
+            "vs_baseline": round(ref / (t_target if t_target else wall), 3),
+            "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(rec_path, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+    except Exception as e:  # noqa: BLE001 — never fail the driver line
+        log(f"(tpu_bench.json update failed: {e!r})")
     if t_target is not None:
         # headline: time to the reference's converged functional value
         # (we then keep descending to a LOWER Ih before the same DtTol

@@ -48,13 +48,15 @@ class MonitorGrid:
       2D — [ny*nx, 4*DD + 4] rows of
       (v00, v10, v01, v11, x0, x1, y0, y1) per cell, so freezing a cell is
       ONE wide-row gather instead of 4 narrow ones.
-      3D (symmetric monitor, every shipped one is SPD) — [3, ncells, 16]:
-      the 8 corner tensors compressed to 6 unique entries each
-      (48 f32/cell) and split into three 16-f32 strips (TPU row gathers
-      cliff above 64 B/row — measured in 2D), so freezing a cell is THREE
-      wide-row gathers instead of 8 narrow ones; cell bounds are gathered
-      from the tiny 1-D axis arrays. None when the table would exceed
-      ~1 GB (very fine 3D grids) — the narrow path remains.
+      3D (symmetric monitor, every shipped one is SPD) — [ncells, 48]:
+      the 8 corner tensors compressed to 6 unique entries each, ONE
+      48-f32 row gather per vertex; cell bounds are gathered from the
+      tiny 1-D axis arrays. Probed on the chip at 3.07M indices
+      (scripts/tpu_celltable3d_probe.py): 1x wide 54-64 f32 row = 35 ms
+      vs 8x narrow 9-f32 = 164 ms vs 3x 16-f32 strips = 158 ms — the 2D
+      "cliff above 16 f32" does NOT generalize; per-gather index
+      processing dominates, so fewer-wider wins. None when the table
+      would exceed ~1 GB (very fine 3D grids) — the narrow path remains.
     """
 
     values: jnp.ndarray
@@ -172,10 +174,11 @@ def build_monitor_grid(
         )
         ncells = (grid.shape[0] - 1) ** 3
         if symmetric and ncells * 48 * np.dtype("float32").itemsize < 2**30:
-            # 6 unique entries x 8 corners = 48 f32/cell, as 3 strips of 16
-            # (row-gather cliff above 64 B). Corner order matches the
-            # narrow path's vals stack; gather_cell rebuilds the full 3x3
-            # bit-exactly from (m00, m01, m02, m11, m12, m22).
+            # 6 unique entries x 8 corners = 48 f32/cell, ONE row gather
+            # per vertex (probed fastest — see class docstring). Corner
+            # order matches the narrow path's vals stack; gather_cell
+            # rebuilds the full 3x3 bit-exactly from
+            # (m00, m01, m02, m11, m12, m22).
             g = grid
             corners = [
                 g[:-1, :-1, :-1], g[:-1, :-1, 1:],
@@ -184,11 +187,11 @@ def build_monitor_grid(
                 g[1:, 1:, :-1], g[1:, 1:, 1:],
             ]
             sym_idx = [0, 1, 2, 4, 5, 8]
-            flat = np.concatenate(
-                [c[..., sym_idx] for c in corners], axis=-1
-            ).reshape(ncells, 3, 16)
             cell_table = jnp.asarray(
-                np.ascontiguousarray(flat.transpose(1, 0, 2)), dtype=dtype
+                np.concatenate(
+                    [c[..., sym_idx] for c in corners], axis=-1
+                ).reshape(ncells, 48),
+                dtype=dtype,
             )
     return MonitorGrid(
         values=jnp.asarray(grid, dtype=dtype),
@@ -358,13 +361,12 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
     yi = _cell_index(pnt[1], ay)
     zi = _cell_index(pnt[2], az)
     if grid.cell_table is not None:
-        # symmetric strip table: 3 wide-row gathers (16 f32 each) replace
-        # the 8 narrow corner gathers below; same grid entries, so the
+        # symmetric table: ONE wide-row gather (48 f32) replaces the 8
+        # narrow corner gathers below; same grid entries, so the
         # reconstructed tensors are bit-identical
         n = ax.shape[0] - 1
         ci = (zi * n + yi) * n + xi
-        t = grid.cell_table
-        row = jnp.concatenate([t[0][ci], t[1][ci], t[2][ci]])  # [48]
+        row = grid.cell_table[ci]  # [48]
         v6 = row.reshape(8, 6)  # (m00, m01, m02, m11, m12, m22) per corner
         full = jnp.array([0, 1, 2, 1, 3, 4, 2, 4, 5], dtype=jnp.int32)
         vals = v6[:, full]  # [8, 9] row-major, m10:=m01 etc bit-equal

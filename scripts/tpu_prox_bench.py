@@ -72,9 +72,9 @@ for label, fn in backends.items():
 
 import numpy as np
 
-print(
-    "max |z_pallas - z_vmap| =",
-    float(jnp.max(jnp.abs(z_out - z_ref))),
-    " max |ih diff| =",
-    float(jnp.max(jnp.abs(ih0 - ih_ref))),
-)
+zdiff = float(jnp.max(jnp.abs(z_out - z_ref)))
+ihdiff = float(jnp.max(jnp.abs(ih0 - ih_ref)))
+print(f"max |z_pallas - z_vmap| = {zdiff}  max |ih diff| = {ihdiff}")
+# parseable verdict for tests/test_prox_pallas.py::test_pallas_on_tpu
+ok = zdiff < 1e-5 and ihdiff < 1e-5 and np.isfinite(zdiff)
+print(f"PROX_BENCH_RESULT {'OK' if ok else 'MISMATCH'}", flush=True)

@@ -35,14 +35,14 @@ def test_frozen_equals_direct_in_cell(dim):
 
 
 def test_3d_cell_table_bit_matches_narrow_path():
-    """The 3-strip symmetric 3D cell table reconstructs exactly the corner
-    tensors the narrow 8-gather path reads."""
+    """The symmetric 3D cell table (one 48-f32 row per cell) reconstructs
+    exactly the corner tensors the narrow 8-gather path reads."""
     X, F, _ = generate_uniform_rect_mesh(
         3, 6, 6, 6, 0, 1, 0, 1, 0, 1, NodeType.BOUNDARY_FIXED
     )
     grid = build_monitor_grid(X, get_monitor(3, 3))  # radial ring: varying
     assert not grid.constant
-    assert grid.cell_table is not None and grid.cell_table.shape[0] == 3
+    assert grid.cell_table is not None and grid.cell_table.shape[-1] == 48
     from mmadmm_tpu.ops.monitor_grid import MonitorGrid
 
     narrow = MonitorGrid(values=grid.values, axes=grid.axes, cell_table=None)

@@ -137,16 +137,24 @@ def test_admm_3dmonitor310_initial_energy_matches_reference():
 
 
 @pytest.mark.slow
-def test_admm_monitor1160_f32_converges_at_scale():
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        ("Monitor1160", 0.80),   # recorded final 0.81342
+        ("Monitor2160", 2.55),   # recorded final 2.60876
+        ("Monitor3160", 0.12),   # recorded final 0.132482
+        ("3DMonitor120", 1.50),  # recorded final 1.54497 (tet mesh)
+    ],
+)
+def test_admm_f32_converges_at_scale(name, floor):
     """Production-scale convergence under the energy guard, f32 fast path
-    (the bench configuration): Monitor1160 must hit the DtTol stop with a
-    final Ih at or below the recorded 0.81342
-    (Results/Monitor1160/Ih0.txt last row) within the step budget. The
-    UNGUARDED reference binary diverges on this config (README: "The
-    energy guard"); this test pins the guarded + f32 path at scale."""
-    cfg = load_experiment_config(
-        f"{REF}/InputFiles/Monitor1160.json"
-    )
+    (the bench configuration), one pin per monitor family + 3D: the run
+    must hit the DtTol stop with a final Ih at or below the recorded
+    converged value (Results/<cfg>/Ih0.txt last row) within the step
+    budget. The UNGUARDED reference binary diverges on the fine 2D
+    configs (README: "The energy guard"); these pins catch any f32-path
+    or guard regression per family."""
+    cfg = load_experiment_config(f"{REF}/InputFiles/{name}.json")
     cfg.dtype = "float32"
     mesh, integ = build_problem(cfg)
     state = integ.init_state()
@@ -160,9 +168,9 @@ def test_admm_monitor1160_f32_converges_at_scale():
             break
         ih_prev = ih
     assert final is not None, "no DtTol stop within 400 steps"
-    ref_final = ref_trace("Monitor1160")[-1]  # 0.81342
+    ref_final = ref_trace(name)[-1]
     assert final <= ref_final + 1e-4
-    assert final > 0.80  # sane attractor, not a collapse
+    assert final > floor  # sane attractor, not a collapse
 
 
 @pytest.mark.slow

@@ -56,6 +56,31 @@ def test_pallas_prox_matches_vmap(dim, nx):
     )
 
 
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_pallas_on_tpu_executes_and_matches():
+    """Runs the Pallas kernel NON-interpreted on the real chip (the
+    interpret-mode tests above only prove the math, not that Mosaic
+    compiles it). Subprocess: the conftest pins this process to CPU, so
+    the shootout script runs with the default (axon TPU) platform.
+    Invoke manually: python -m pytest -m tpu tests/test_prox_pallas.py"""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
+        pytest.skip("no TPU tunnel in this environment")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    out = subprocess.run(
+        [sys.executable, "-u", "scripts/tpu_prox_bench.py", "Monitor120"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=3000,
+    )
+    assert "PROX_BENCH_RESULT OK" in out.stdout, (
+        f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-2000:]}"
+    )
+
+
 def test_pallas_backend_requires_f32():
     cfg = ExperimentConfig(
         test_type="SquareGrid", dim=2, mon_type=1, method=0,
