@@ -131,10 +131,44 @@ def build_monitor_grid(
     is_constant = bool(np.all(grid.reshape(-1, D * D) == grid.reshape(-1, D * D)[0]))
     cell_table = None
     if is_constant:
+        # corner values are one broadcast row; the per-vertex cost is the
+        # CELL BOUNDS. 2*D separate scalar gathers from the axis arrays
+        # measurably lose to ONE narrow row gather (per-gather index
+        # processing dominates on TPU — scripts/tpu_celltable3d_probe.py),
+        # so pack the bounds into a [ncells, 2D] table, bit-identical to
+        # the axis values. Size-gated like the full table; the fallback is
+        # the scalar-axis path in gather_cell.
+        ncells = (grid.shape[0] - 1) ** D
+        bounds_tbl = None
+        if ncells * 2 * D * np.dtype("float32").itemsize < 2**30:
+            if D == 2:
+                ax, ay = axes
+                ny, nx = len(ay) - 1, len(ax) - 1
+                parts = [
+                    np.broadcast_to(ax[None, :-1], (ny, nx)),
+                    np.broadcast_to(ax[None, 1:], (ny, nx)),
+                    np.broadcast_to(ay[:-1, None], (ny, nx)),
+                    np.broadcast_to(ay[1:, None], (ny, nx)),
+                ]
+            else:
+                ax, ay, az = axes
+                n = len(ax) - 1
+                shp = (n, n, n)  # [zi, yi, xi]
+                parts = [
+                    np.broadcast_to(ax[None, None, :-1], shp),
+                    np.broadcast_to(ax[None, None, 1:], shp),
+                    np.broadcast_to(ay[None, :-1, None], shp),
+                    np.broadcast_to(ay[None, 1:, None], shp),
+                    np.broadcast_to(az[:-1, None, None], shp),
+                    np.broadcast_to(az[1:, None, None], shp),
+                ]
+            bounds_tbl = jnp.asarray(
+                np.stack(parts, axis=-1).reshape(ncells, 2 * D), dtype=dtype
+            )
         return MonitorGrid(
             values=jnp.asarray(grid, dtype=dtype),
             axes=tuple(jnp.asarray(a, dtype=dtype) for a in axes),
-            cell_table=None,
+            cell_table=bounds_tbl,
             constant=True,
         )
     if D == 2:
@@ -304,16 +338,23 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
     D = grid.dim
     if grid.constant:
         # constant grid (static flag): all corner tensors equal grid node 0
-        # — broadcast it instead of 2^D big-tensor gathers. Bounds still
-        # come from the [n+1] axis arrays (trivially cached), keeping
-        # sample_frozen's arithmetic — and its results — bit-identical to
-        # the general path.
+        # — broadcast it instead of 2^D big-tensor gathers. Bounds come
+        # from ONE narrow [ncells, 2D] row gather (bit-identical to the
+        # axis values; 2*D scalar axis gathers lose to a single row
+        # gather), with the scalar-axis fallback when the bounds table
+        # was size-gated away.
         flat0 = grid.values.reshape(-1, D * D)[0]
         vals = jnp.broadcast_to(flat0, (2**D, D * D))
         if D == 2:
             ax, ay = grid.axes
             xi = _cell_index(pnt[0], ax)
             yi = _cell_index(pnt[1], ay)
+            if grid.cell_table is not None:
+                nx = ax.shape[0] - 1
+                row = grid.cell_table[yi * nx + xi]
+                return dict(
+                    vals=vals, x0=row[0], x1=row[1], y0=row[2], y1=row[3]
+                )
             return dict(
                 vals=vals, x0=ax[xi], x1=ax[xi + 1], y0=ay[yi], y1=ay[yi + 1]
             )
@@ -321,6 +362,14 @@ def gather_cell(grid: MonitorGrid, pnt: jnp.ndarray) -> dict:
         xi = _cell_index(pnt[0], ax)
         yi = _cell_index(pnt[1], ay)
         zi = _cell_index(pnt[2], az)
+        if grid.cell_table is not None:
+            n = ax.shape[0] - 1
+            row = grid.cell_table[(zi * n + yi) * n + xi]
+            return dict(
+                vals=vals,
+                x0=row[0], x1=row[1], y0=row[2], y1=row[3],
+                z0=row[4], z1=row[5],
+            )
         return dict(
             vals=vals,
             x0=ax[xi], x1=ax[xi + 1],

