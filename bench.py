@@ -36,7 +36,14 @@ REF_SECONDS = {
     "Monitor1160": 12.73,  # Results/Monitor1160/Ih0.txt last row
     "Monitor2320": 169.1,
     "Monitor2160": 21.0,
-    "Monitor3320": 96.5,
+    "Monitor3320": 96.5,  # UNRUNNABLE from the shipped reference: its
+    # CircleEx192 points/triangles files are missing from the repo (only
+    # the mask survived) — the reference binary cannot run this config
+    # today either. "Monitor3320r" is the reproducible stand-in: the same
+    # config on a 1:4 midpoint refinement of the shipped CircleEx96 mesh
+    # (265,004 triangles, within 0.5% of the lost mesh's node count) —
+    # see mmadmm_tpu/geometry/refine.py.
+    "Monitor3320r": 96.5,
     "Monitor3160": 7.21,
     "3DMonitor110": 4.25,
     "3DMonitor120": 33.34,
@@ -80,9 +87,14 @@ def run_config(name: str, chunk: int = 8):
     from mmadmm_tpu.config import load_experiment_config
     from mmadmm_tpu.problems import build_problem
 
-    cfg = load_experiment_config(
-        f"/root/reference/Experiments/InputFiles/{name}.json"
-    )
+    cfg_path = f"/root/reference/Experiments/InputFiles/{name}.json"
+    if not os.path.exists(cfg_path) and name == "Monitor3320r":
+        from mmadmm_tpu.geometry.refine import make_circle_ex192r
+
+        cfg_path = make_circle_ex192r(os.path.dirname(
+            os.path.abspath(__file__)
+        ))
+    cfg = load_experiment_config(cfg_path)
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64-accurate
     log(f"{name}: building problem")
     mesh, integ = build_problem(cfg)

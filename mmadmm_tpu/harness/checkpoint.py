@@ -50,6 +50,8 @@ def save_checkpoint(
         arrays["ih_last"] = np.asarray(state.ih_last, dtype=np.float64)
     if hasattr(state, "rose"):
         arrays["rose"] = np.asarray(state.rose)
+    if hasattr(state, "rises"):
+        arrays["rises"] = np.asarray(state.rises)
     # chord-Jacobian carry — saved so a resumed run is bit-equal to the
     # uninterrupted one (a missing J resumes as zeros: the prox slow
     # branch then refreshes it on first rejection, correct but not
@@ -107,6 +109,8 @@ def resume_experiment(path: str, base_dir: str = "."):
         updates["ih_last"] = jnp.asarray(arrays["ih_last"], dtype=jnp.float64)
     if hasattr(state, "rose") and "rose" in arrays:
         updates["rose"] = jnp.asarray(arrays["rose"], dtype=bool)
+    if hasattr(state, "rises") and "rises" in arrays:
+        updates["rises"] = jnp.asarray(arrays["rises"], dtype=jnp.int32)
     if hasattr(state, "J"):
         j_restored = False
         if "J" in arrays:

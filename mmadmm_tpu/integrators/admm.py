@@ -54,6 +54,14 @@ class ADMMState(NamedTuple):
     steps: jnp.ndarray  # i32 scalar — stepsTaken (MeshIntegrator.h:46)
     ih_last: jnp.ndarray  # f64 scalar — Ihstart of the previous step
     rose: jnp.ndarray  # bool scalar — Ihstart rose at the previous step
+    # i32 scalar — consecutive Ihstart rises. One rise -> the euler
+    # damper (matches the recorded reference artifacts); >= 2 -> the
+    # euler map itself is unstable at this dt/tau (seen on Monitor3160:
+    # energy creeps monotonically to the euler-map equilibrium ~3% above
+    # the minimum), so the predictor falls back to the PROXIMAL damper
+    # x_bar = x, whose step amplification 1/(1 + dt^2 lambda / tau) < 1
+    # is unconditionally stable
+    rises: jnp.ndarray
     # chord Jacobian carried across prox calls AND time steps [NF, n, n]
     # (the reference warm-starts its cached inverse Hessians the same way,
     # Mesh.cpp:456-464); built fresh on the first call of a run, kept
@@ -137,6 +145,7 @@ class ADMMIntegrator:
         steps = jnp.zeros((), dtype=jnp.int32)
         ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
         rose = jnp.zeros((), dtype=bool)
+        rises = jnp.zeros((), dtype=jnp.int32)
         nn = self.mesh.dim * (self.mesh.dim + 1)
         # zeros + j_fresh=True — the first prox call of a run builds the
         # real entry Jacobian
@@ -152,6 +161,7 @@ class ADMMIntegrator:
             steps = put_global(steps, self.device_mesh, P())
             ih_last = put_global(ih_last, self.device_mesh, P())
             rose = put_global(rose, self.device_mesh, P())
+            rises = put_global(rises, self.device_mesh, P())
             J = put_global(J, self.device_mesh, P("elems"))
             j_fresh = put_global(j_fresh, self.device_mesh, P())
         return ADMMState(
@@ -161,6 +171,7 @@ class ADMMIntegrator:
             steps=steps,
             ih_last=ih_last,
             rose=rose,
+            rises=rises,
             J=J,
             j_fresh=j_fresh,
         )
@@ -212,7 +223,7 @@ class ADMMIntegrator:
                 )
                 return rhs / t_diag[:, None]
 
-            def predictor(x, x_prev, steps, rose):
+            def predictor(x, x_prev, steps, rose, rises):
                 # Mesh::predictX (Mesh.cpp:650-674) with an ENERGY GUARD:
                 # extrapolation (2x - x_prev) is used only while Ihstart is
                 # decreasing; after an uptick the gradient predictor runs
@@ -224,7 +235,13 @@ class ADMMIntegrator:
                 # while its RECORDED traces damp exactly one step after the
                 # first uptick (Results/Monitor1160/Ih0.txt rows 21-23) —
                 # matching this guard, which the published artifacts
-                # evidently had.
+                # evidently had. If the energy rises under the euler
+                # damper TOO (>= 2 consecutive rises — the euler map is
+                # unstable at this dt/tau, observed on Monitor3160), fall
+                # back to the proximal damper x_bar = x: the implicit step
+                # then contracts every eigenmode (1/(1 + dt^2 lambda/tau)),
+                # so the creep toward the euler-map equilibrium cannot
+                # happen.
                 def euler(_):
                     ih_e, g_e = energy_grad_e(gather(x), c["xi"], c["grid"])
                     g = scatter_add_dense(
@@ -235,14 +252,20 @@ class ADMMIntegrator:
                 def extrap(_):
                     return 2.0 * x - x_prev
 
+                def damped(_):
+                    return jax.lax.cond(rises >= 2, lambda _: x, euler, None)
+
                 if self.grad_use:
                     return euler(None)
                 return jax.lax.cond(
-                    jnp.logical_or(steps <= 2, rose), euler, extrap, None
+                    steps <= 2, euler,
+                    lambda _: jax.lax.cond(rose, damped, extrap, None),
+                    None,
                 )
 
-            x, x_prev, u_bar, steps, ih_last, rose, J, j_fresh = state
-            x_bar = predictor(x, x_prev, steps, rose)
+            (x, x_prev, u_bar, steps, ih_last, rose, rises, J,
+             j_fresh) = state
+            x_bar = predictor(x, x_prev, steps, rose, rises)
 
             x_prev = x
             x = x_bar
@@ -303,9 +326,10 @@ class ADMMIntegrator:
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
+            rises_next = jnp.where(ih_start > ih_last, rises + 1, 0)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next, J=J,
+                ih_last=ih_start, rose=rose_next, rises=rises_next, J=J,
                 j_fresh=jnp.zeros((), dtype=bool),
             )
             return new_state, StepInfo(
@@ -358,7 +382,7 @@ class ADMMIntegrator:
             # (MeshIntegrator.cpp:51); computed in-graph from the threaded
             # argument so no [NP] constant is embedded
             t_diag = tau + dt2w2 * deg
-            (x, x_prev, u_bar_l, steps, ih_last, rose, J_l,
+            (x, x_prev, u_bar_l, steps, ih_last, rose, rises, J_l,
              j_fresh) = state
             perm_l = perm_l.reshape(-1)
             seg_l = seg_l.reshape(-1)
@@ -427,9 +451,9 @@ class ADMMIntegrator:
                     z, xi, None, mesh.ehat, mesh.comp_mesh, cells=cells
                 )
 
-            def predictor(x, x_prev, steps, rose):
-                # energy-guarded predictor — see _build_step for the
-                # rationale and the reference-artifact evidence
+            def predictor(x, x_prev, steps, rose, rises):
+                # energy-guarded predictor with the proximal fallback for
+                # consecutive rises — see _build_step for the rationale
                 def euler(_):
                     _, g = grad_at(x)
                     return x - (dt / tau) * g
@@ -437,13 +461,18 @@ class ADMMIntegrator:
                 def extrap(_):
                     return 2.0 * x - x_prev
 
+                def damped(_):
+                    return jax.lax.cond(rises >= 2, lambda _: x, euler, None)
+
                 if self.grad_use:
                     return euler(None)
                 return jax.lax.cond(
-                    jnp.logical_or(steps <= 2, rose), euler, extrap, None
+                    steps <= 2, euler,
+                    lambda _: jax.lax.cond(rose, damped, extrap, None),
+                    None,
                 )
 
-            x_bar = predictor(x, x_prev, steps, rose)
+            x_bar = predictor(x, x_prev, steps, rose, rises)
             x_prev = x
             x = x_bar
             z_l = jax.lax.cond(
@@ -513,9 +542,10 @@ class ADMMIntegrator:
             rose_next = ih_start > ih_last
             if self.sticky_guard:
                 rose_next = jnp.logical_or(rose, rose_next)
+            rises_next = jnp.where(ih_start > ih_last, rises + 1, 0)
             new_state = ADMMState(
                 x=x, x_prev=x_prev, u_bar=u_bar_l, steps=steps + 1,
-                ih_last=ih_start, rose=rose_next, J=J_l,
+                ih_last=ih_start, rose=rose_next, rises=rises_next, J=J_l,
                 j_fresh=jnp.zeros((), dtype=bool),
             )
             return new_state, StepInfo(
@@ -524,7 +554,7 @@ class ADMMIntegrator:
 
         state_specs = ADMMState(
             x=P(), x_prev=P(), u_bar=P("elems"), steps=P(),
-            ih_last=P(), rose=P(), J=P("elems"), j_fresh=P(),
+            ih_last=P(), rose=P(), rises=P(), J=P("elems"), j_fresh=P(),
         )
         info_specs = StepInfo(
             ih_start=P(), primal=P(), dual=P(), n_iters=P()
