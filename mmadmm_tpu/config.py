@@ -59,9 +59,10 @@ class ExperimentConfig:
     base_dir: str = "."
     dtype: str = "float64"  # compute dtype; reductions always float64
     prox_newton_iters: int = 50  # reference BFGS cap (Mesh.cpp:968)
-    # prox z-update backend: "vmap" (XLA, any dtype), "pallas" (fused TPU
-    # kernel, f32), "pallas_interpret" (CPU-debug), or "auto" (env
-    # MMADMM_PROX override, else vmap)
+    # prox z-update backend: "vmap" (XLA, any dtype — the measured TPU
+    # backend) or "auto" (env MMADMM_PROX override, else vmap). The
+    # Pallas kernel option was removed after failing to compile on TPU
+    # hardware (COVERAGE.md "Prox backend decision").
     prox_backend: str = "auto"
     step_tol: float = 1e-3  # ADMM primal/dual tol (main.cpp:184)
     n_devices: int = 1  # element-axis sharding degree

@@ -111,24 +111,29 @@ class MovingMesh:
         # prox with the monitor grid threaded as a CALL-TIME argument —
         # closed-over multi-MB arrays become HLO constants and blow up the
         # (remote) TPU compile; integrators pass the grid explicitly.
+        # Backend decision (round 3, measured on the chip): the vmapped
+        # XLA solver IS the TPU backend — 46.4 ms/call at Monitor1320
+        # (307k elements). A fused Pallas SoA kernel (VMEM-resident
+        # Newton loop) was prototyped through round 2 but NEVER compiled
+        # on real hardware: Mosaic rejects the leading-dim shape casts
+        # the matrix-form element math requires ("infer-vector-layout:
+        # unsupported shape cast", vector<128x8x6> -> <128x8x3x2>), so it
+        # was removed (git history: ops/prox_pallas.py). The roofline
+        # (COVERAGE.md) shows the prox is VPU-bound, not HBM-bound, so a
+        # VMEM-resident kernel would need the element energy/grad/Hessian
+        # rewritten in explicit per-component form to beat XLA's fusion —
+        # future work, not cargo.
         if prox_backend == "auto":
             prox_backend = os.environ.get("MMADMM_PROX", "vmap")
-        if prox_backend in ("pallas", "pallas_interpret"):
-            if dtype != jnp.float32:
-                raise ValueError(
-                    "prox_backend=pallas requires dtype=float32 "
-                    "(Mosaic has no f64); use the vmap backend for f64"
-                )
-            from .ops.prox_pallas import make_prox_pallas
-
-            self.prox_fn = make_prox_pallas(
-                self.ehat, self.comp_mesh, self.w, self.dim,
-                interpret=(prox_backend == "pallas_interpret"),
+        if prox_backend != "vmap":
+            raise ValueError(
+                f"unknown prox_backend {prox_backend!r} (the Pallas "
+                "backend was removed after it failed to compile on TPU "
+                "hardware — see COVERAGE.md 'Prox backend decision')"
             )
-        else:
-            self.prox_fn = make_prox_solver(
-                self.ehat, self.comp_mesh, self.w, self.dim
-            )
+        self.prox_fn = make_prox_solver(
+            self.ehat, self.comp_mesh, self.w, self.dim
+        )
         self.prox_backend = prox_backend
 
         # batched element functions; grid passed as an argument, not closed

@@ -47,11 +47,10 @@ _ALPHAS = (1.0, 0.5, 0.25, 0.125, 0.0625, 0.0)
 
 
 def make_element_kernels(ehat_const, comp_mesh: bool, w: float, dim: int):
-    """Per-ELEMENT building blocks of the prox Newton solve, shared by the
-    vmapped solver (`make_prox_solver`) and the Pallas TPU kernel
-    (`ops.prox_pallas`). Every function here takes unbatched per-element
-    arguments; the two backends differ only in how they batch them
-    (leading-axis vmap vs trailing-lane SoA inside a kernel)."""
+    """Per-ELEMENT building blocks of the prox Newton solve, consumed by
+    the vmapped solver (`make_prox_solver`). Every function here takes
+    unbatched per-element arguments so alternative batchings (a future
+    component-form Pallas kernel, tests) can reuse the same math."""
     n = dim * (dim + 1)
     # `grid` below refers to the call-time argument; every helper that
     # consumes it does so through frozen `cells`, so only gather_cells

@@ -1,9 +1,17 @@
-"""Prox backend shootout on the current backend: vmap vs Pallas kernel.
+"""Prox z-update timing on the current backend (vmap/XLA).
 
 Builds a production-size problem (default Monitor1320, 307k triangles),
-runs two steps to get a realistic mid-run state, then times one prox call
-(z-update) per backend at the ADMM settings. Uses the persistent compile
-cache, so run after bench.py has warmed the step program.
+runs two chunked steps to get a realistic mid-run state, then times one
+prox call at the ADMM settings. Uses the persistent compile cache, so run
+after bench.py has warmed the step program.
+
+History: through round 2 this script compared the vmapped solver against
+a fused Pallas SoA kernel. The kernel NEVER compiled on real hardware —
+Mosaic rejects the leading-dim shape casts the matrix-form element math
+requires ("infer-vector-layout: unsupported shape cast",
+vector<128x8x6xf32> -> vector<128x8x3x2xf32> at prox.py's
+z_flat.reshape) — and was removed; the recorded numbers and the decision
+live in COVERAGE.md ("Prox backend decision").
 """
 
 import sys
@@ -34,13 +42,9 @@ state, _ = integ.multi_step(state, 8)
 jax.block_until_ready(state.x)
 z = mesh.gather(state.x)
 dxpu = z + state.u_bar
-tol = integ.tol / 100.0
+tol = integ.prox_tol
 iters = integ.prox_max_iters
 
-from mmadmm_tpu.ops.prox_pallas import make_prox_pallas
-
-pp = make_prox_pallas(mesh.ehat, mesh.comp_mesh, mesh.w, mesh.dim)
-backends = {"vmap": mesh.prox_fn, "pallas": pp}
 
 def _sync(r):
     """block_until_ready is not a reliable fence on the axon backend —
@@ -49,32 +53,22 @@ def _sync(r):
     return jax.device_get(leaf.ravel()[:1])
 
 
-for label, fn in backends.items():
-    f = jax.jit(fn, static_argnums=(5, 6))
-    t0 = time.perf_counter()
+f = jax.jit(mesh.prox_fn, static_argnums=(5, 6))
+t0 = time.perf_counter()
+out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
+_sync(out)
+compile_s = time.perf_counter() - t0
+n = 10
+t0 = time.perf_counter()
+for _ in range(n):
     out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
-    _sync(out)
-    compile_s = time.perf_counter() - t0
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
-    _sync(out)  # one readback fences the whole enqueued stream
-    times = [(time.perf_counter() - t0) / n]
-    z_out, ih0 = out
-    print(
-        f"{label:8s} compile+first={compile_s:7.2f}s "
-        f"steady={min(times)*1e3:8.2f} ms  ih0_sum={float(jnp.sum(ih0)):.8f}",
-        flush=True,
-    )
-    if label == "vmap":
-        z_ref, ih_ref = out
-
-import numpy as np
-
-zdiff = float(jnp.max(jnp.abs(z_out - z_ref)))
-ihdiff = float(jnp.max(jnp.abs(ih0 - ih_ref)))
-print(f"max |z_pallas - z_vmap| = {zdiff}  max |ih diff| = {ihdiff}")
-# parseable verdict for tests/test_prox_pallas.py::test_pallas_on_tpu
-ok = zdiff < 1e-5 and ihdiff < 1e-5 and np.isfinite(zdiff)
-print(f"PROX_BENCH_RESULT {'OK' if ok else 'MISMATCH'}", flush=True)
+_sync(out)  # one readback fences the whole enqueued stream
+steady_ms = (time.perf_counter() - t0) / n * 1e3
+z_out, ih0 = out
+ok = bool(jnp.all(jnp.isfinite(z_out))) and bool(jnp.isfinite(ih0).all())
+print(
+    f"vmap     compile+first={compile_s:7.2f}s "
+    f"steady={steady_ms:8.2f} ms  ih0_sum={float(jnp.sum(ih0)):.8f}",
+    flush=True,
+)
+print(f"PROX_BENCH_RESULT {'OK' if ok else 'NONFINITE'}", flush=True)
