@@ -130,38 +130,33 @@ def build_monitor_grid(
     # constant monitor yields a bitwise-constant grid
     is_constant = bool(np.all(grid.reshape(-1, D * D) == grid.reshape(-1, D * D)[0]))
     cell_table = None
-    if is_constant:
-        # corner values are one broadcast row; the per-vertex cost is the
-        # CELL BOUNDS. 2*D separate scalar gathers from the axis arrays
-        # measurably lose to ONE narrow row gather (per-gather index
-        # processing dominates on TPU — scripts/tpu_celltable3d_probe.py),
+    if is_constant and D == 3:
+        # 3D only: corner values are one broadcast row (replaces 8 narrow
+        # 9-f32 gathers/vertex — the big 3D win); the remaining per-vertex
+        # cost is the CELL BOUNDS. 2*D separate scalar gathers from the
+        # axis arrays measurably lose to ONE narrow row gather (per-gather
+        # index processing dominates — scripts/tpu_celltable3d_probe.py),
         # so pack the bounds into a [ncells, 2D] table, bit-identical to
         # the axis values. Size-gated like the full table; the fallback is
-        # the scalar-axis path in gather_cell.
+        # the scalar-axis path in gather_cell. In 2D the general 16-wide
+        # table already fetches corners+bounds in ONE gather, and the
+        # on-chip A/B (scripts/tpu_constgrid_ab.py, Monitor1320: 144.6 vs
+        # 150.6 ms/step, bit-identical trajectory) shows broadcast+bounds
+        # LOSES to it — so constant 2D grids keep the normal table below.
         ncells = (grid.shape[0] - 1) ** D
         bounds_tbl = None
         if ncells * 2 * D * np.dtype("float32").itemsize < 2**30:
-            if D == 2:
-                ax, ay = axes
-                ny, nx = len(ay) - 1, len(ax) - 1
-                parts = [
-                    np.broadcast_to(ax[None, :-1], (ny, nx)),
-                    np.broadcast_to(ax[None, 1:], (ny, nx)),
-                    np.broadcast_to(ay[:-1, None], (ny, nx)),
-                    np.broadcast_to(ay[1:, None], (ny, nx)),
-                ]
-            else:
-                ax, ay, az = axes
-                n = len(ax) - 1
-                shp = (n, n, n)  # [zi, yi, xi]
-                parts = [
-                    np.broadcast_to(ax[None, None, :-1], shp),
-                    np.broadcast_to(ax[None, None, 1:], shp),
-                    np.broadcast_to(ay[None, :-1, None], shp),
-                    np.broadcast_to(ay[None, 1:, None], shp),
-                    np.broadcast_to(az[:-1, None, None], shp),
-                    np.broadcast_to(az[1:, None, None], shp),
-                ]
+            ax, ay, az = axes
+            n = len(ax) - 1
+            shp = (n, n, n)  # [zi, yi, xi]
+            parts = [
+                np.broadcast_to(ax[None, None, :-1], shp),
+                np.broadcast_to(ax[None, None, 1:], shp),
+                np.broadcast_to(ay[None, :-1, None], shp),
+                np.broadcast_to(ay[None, 1:, None], shp),
+                np.broadcast_to(az[:-1, None, None], shp),
+                np.broadcast_to(az[1:, None, None], shp),
+            ]
             bounds_tbl = jnp.asarray(
                 np.stack(parts, axis=-1).reshape(ncells, 2 * D), dtype=dtype
             )
