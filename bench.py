@@ -10,7 +10,12 @@ chip (f32 fast path, chunked steps) and report wall seconds;
 Robustness (round-1 postmortem: the driver's capture timed out mid
 cold-compile):
   * the persistent compile cache under .jax_cache/ is committed to the
-    repo, so a fresh checkout compiles the step program in seconds;
+    repo. Measured caveat (round 3): the CLIENT cache round-trips
+    correctly (83 KB probe: 0.71 s first process, 0.02 s second), but
+    this backend's remote compile server re-loads/compiles big programs
+    SERVER-side on first execution after its own cache cools — ~300 s
+    for the headline program even on a client hit. The budget math
+    absorbs it (300 s load + ~45 s run << 2400 s);
   * progress goes to stderr so a timeout still leaves diagnostics;
   * MMADMM_BENCH_BUDGET (seconds, default 2400) tiers the run down to
     Monitor1160 when the elapsed time after compile+warmup leaves no
