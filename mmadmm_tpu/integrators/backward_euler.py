@@ -154,7 +154,9 @@ class BackwardEulerIntegrator:
             ih = mesh._energy_impl(x, F, xi, grid)
             return x, ih, n_newton
 
+        self._step_fn = step
         self._step_jit = jax.jit(step)
+        self._multi_cache: dict[int, object] = {}
 
     def init_state(self) -> BackwardEulerState:
         return BackwardEulerState(x=self.mesh.X0)
@@ -162,6 +164,25 @@ class BackwardEulerIntegrator:
     def step(self, state: BackwardEulerState):
         x, ih, n_newton = self._step_jit(state.x, *self._args)
         return BackwardEulerState(x=x), float(ih)
+
+    def multi_step(self, state: BackwardEulerState, k: int):
+        """K BE steps in ONE device program (lax.scan over the damped
+        Newton step) — amortizes per-step dispatch latency, like
+        ADMMIntegrator.multi_step. Returns (state', ih[k])."""
+        k = int(k)
+        if k not in self._multi_cache:
+            step_fn = self._step_fn
+
+            def scan_fn(x, *args):
+                def body(xc, _):
+                    xn, ih, _ = step_fn(xc, *args)
+                    return xn, ih
+
+                return jax.lax.scan(body, x, None, length=k)
+
+            self._multi_cache[k] = jax.jit(scan_fn)
+        x, ihs = self._multi_cache[k](state.x, *self._args)
+        return BackwardEulerState(x=x), ihs
 
     def energy(self, state: BackwardEulerState) -> float:
         return float(self.mesh.energy(state.x))

@@ -32,11 +32,13 @@ class EulerIntegrator:
             ih, g = mesh._gradient_impl(x, F, xi, grid, masks, True)
             return x - dt_tau * g, ih
 
+        self._step_fn = step
         self._step_jit = jax.jit(step)
         self._args = (
             mesh.F, mesh.xi, mesh.grid,
             (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
         )
+        self._multi_cache: dict[int, object] = {}
 
     def init_state(self) -> EulerState:
         return EulerState(x=self.mesh.X0)
@@ -44,6 +46,26 @@ class EulerIntegrator:
     def step(self, state: EulerState):
         x, ih = self._step_jit(state.x, *self._args)
         return EulerState(x=x), float(ih)
+
+    def multi_step(self, state: EulerState, k: int):
+        """K Euler steps in ONE device program (lax.scan) — amortizes the
+        per-step dispatch latency that dominates small problems on TPU
+        (the analogue of ADMMIntegrator.multi_step). Returns
+        (state', ih[k])."""
+        k = int(k)
+        if k not in self._multi_cache:
+            step_fn = self._step_fn
+
+            def scan_fn(x, F, xi, grid, masks):
+                def body(xc, _):
+                    xn, ih = step_fn(xc, F, xi, grid, masks)
+                    return xn, ih
+
+                return jax.lax.scan(body, x, None, length=k)
+
+            self._multi_cache[k] = jax.jit(scan_fn)
+        x, ihs = self._multi_cache[k](state.x, *self._args)
+        return EulerState(x=x), ihs
 
     def energy(self, state: EulerState) -> float:
         return float(self.mesh.energy(state.x))
