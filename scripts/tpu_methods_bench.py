@@ -19,6 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = {
     ("Monitor1320", 1): (124.9, 0.813164),
     ("Monitor1320", 2): (335.8, 0.813164),
+    ("Monitor1160", 1): (29.685, 0.813164),
+    ("Monitor1160", 2): (75.956, 0.813164),
     ("Monitor120", 1): (0.0991, 0.813163),
     ("Monitor120", 2): (0.2792, 0.813163),
     ("3DMonitor110", 1): (1.224, 1.55916),
@@ -42,7 +44,9 @@ for method in methods:
     cfg.method = method
     cfg.dtype = "float32"
     mesh, integ = build_problem(cfg)
-    chunk = 10 if method == 1 else 4  # scan K steps per dispatch
+    # scan K steps per dispatch; the tunnel's per-dispatch round trip is
+    # ~100-250 ms, so small problems need big chunks
+    chunk = 25 if method == 1 else 4
     state = integ.init_state()
     t0 = time.perf_counter()
     state, _ = integ.multi_step(state, chunk)
