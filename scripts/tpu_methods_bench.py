@@ -21,6 +21,8 @@ REF = {
     ("Monitor1320", 2): (335.8, 0.813164),
     ("Monitor1160", 1): (29.685, 0.813164),
     ("Monitor1160", 2): (75.956, 0.813164),
+    ("Monitor140", 1): (0.4194, 0.813163),
+    ("Monitor140", 2): (1.19467, 0.813162),
     ("Monitor120", 1): (0.0991, 0.813163),
     ("Monitor120", 2): (0.2792, 0.813163),
     ("3DMonitor110", 1): (1.224, 1.55916),
