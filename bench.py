@@ -85,7 +85,7 @@ def log(msg: str) -> None:
     print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def run_config(name: str, chunk: int = 8):
+def run_config(name: str, chunk: int | None = None):
     """Compile + run one config to the DtTol stop; returns (wall, steps, ih)."""
     import jax
 
@@ -103,6 +103,12 @@ def run_config(name: str, chunk: int = 8):
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64-accurate
     log(f"{name}: building problem")
     mesh, integ = build_problem(cfg)
+    if chunk is None:
+        # chunk=8 everywhere: bigger chunks amortize the tunnel dispatch
+        # latency but coarsen the time-to-quality measurement to chunk
+        # boundaries — measured net-worse for the recorded metric (3D110:
+        # 1.89 s @8 vs 2.59 s @26)
+        chunk = 8
     log(f"{name}: NF={mesh.n_elements}, compiling chunk={chunk} step program")
 
     state = integ.init_state()
