@@ -121,6 +121,7 @@ class ADMMIntegrator:
             halo = os.environ.get("MMADMM_HALO", "1") != "0"
         self.halo = bool(halo)
         self._multi_cache: dict[int, Any] = {}
+        self._run_cache: dict[int, Any] = {}
         if device_mesh is None:
             self.shards = None
             # step_fn(state, consts): the mesh arrays are call arguments,
@@ -646,6 +647,57 @@ class ADMMIntegrator:
                 jitted = jax.jit(scan_fn)
                 self._multi_cache[k] = lambda s: jitted(s, self.consts)
         return self._multi_cache[k](state)
+
+    def run_device(
+        self,
+        state: ADMMState,
+        *,
+        cap: int,
+        dt_tol: float,
+        target_ih: float | None = None,
+        min_steps: int = 0,
+    ):
+        """The WHOLE outer time loop as one device program
+        (``integrators.device_loop``): steps until the reference's
+        ``|dIh/dt| < DtTol`` stop (or the optional ``target_ih`` energy,
+        armed from ``min_steps``), at most ``cap`` steps. One dispatch
+        per run — the fix for small configs where the per-dispatch tunnel
+        round-trip dominated (VERDICT r3 item 2). Returns
+        ``(state', ih_trace[cap] f64 — NaN beyond steps, steps i32)``."""
+        cap = int(cap)
+        if cap not in self._run_cache:
+            from .device_loop import build_run_loop
+
+            if self.shards is None:
+                step_fn = self.step_fn
+
+                def step2(s, c):
+                    s2, info = step_fn(s, c)
+                    return s2, info.ih_start
+
+                run = jax.jit(build_run_loop(step2, self.dt, cap))
+                self._run_cache[cap] = (
+                    lambda s, *a: run(s, self.consts, *a)
+                )
+            else:
+                sharded_fn = self._sharded_fn
+
+                def step2(s, args):
+                    s2, info = sharded_fn(s, *args)
+                    return s2, info.ih_start
+
+                run = jax.jit(build_run_loop(step2, self.dt, cap))
+                self._run_cache[cap] = (
+                    lambda s, *a: run(s, self._sharded_args, *a)
+                )
+        use = target_ih is not None
+        return self._run_cache[cap](
+            state,
+            jnp.asarray(dt_tol, jnp.float64),
+            jnp.asarray(target_ih if use else 0.0, jnp.float64),
+            jnp.asarray(use),
+            jnp.asarray(min_steps, jnp.int32),
+        )
 
     def energy(self, state: ADMMState) -> float:
         """solver.getEnergy() (MeshIntegrator.cpp:79-81)."""

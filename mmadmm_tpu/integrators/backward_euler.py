@@ -10,8 +10,15 @@ TPU-native redesign is matrix-free:
   F(x) = (dt/tau) grad I(x) + (x - x^n)        (Mesh.cpp:1289-1293)
 
 Newton with *exact* Jacobian-vector products via ``jax.jvp`` of the
-assembled gradient (no FD assembly at all), inner solves with BiCGStab
-(``jax.scipy.sparse.linalg.bicgstab``). An optional diagonal (Jacobi)
+assembled gradient (no FD assembly at all), inner solves with the
+hand-rolled fixed-trip BiCGStab from ``ops.krylov`` (the reference's
+``scaler_cgstab``, accel_class.cpp:280). Round 3 used
+``jax.scipy.sparse.linalg.bicgstab`` here; its nested
+``while_loop(while_loop)`` program reproducibly faulted the TPU worker at
+>=77k 2D elements, so the inner solve is now a fixed-iteration
+``fori_loop`` with masked convergence — structurally un-nested (VERDICT
+r3 item 1 route (b); ``MMADMM_BE_KRYLOV=scipy`` restores the old solver
+for A/B). An optional diagonal (Jacobi)
 chord preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` is
 available (``precondition=True``; exact Hessian diagonal assembled from
 per-element ``jax.hessian`` diagonals once per step) but is OFF by
@@ -26,12 +33,14 @@ capped at 1000 Newton iterations (Mesh.cpp:1275).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..mesh import MovingMesh
+from ..ops import krylov
 from ..ops.reductions import block_sum_f64
 
 
@@ -48,13 +57,24 @@ class BackwardEulerIntegrator:
         tol: float = 1e-3,
         max_newton: int = 1000,
         krylov_tol: float = 1e-6,
-        krylov_maxiter: int = 200,
+        krylov_maxiter: int = 40,
+        krylov_solver: str | None = None,
         precondition: bool = False,
     ):
         self.mesh = mesh
         self.dt = float(dt)
         self.tol = float(tol)
         self.max_newton = int(max_newton)
+        # cgstab (default): ops.krylov fixed-trip BiCGStab; cg: ops.krylov
+        # CG (the system I + dt/tau Hess is symmetric wherever the energy
+        # is C^2); scipy: the round-3 jax.scipy solver kept for A/B — its
+        # nested while_loop program faults the TPU worker at >=77k 2D
+        # elements.
+        if krylov_solver is None:
+            krylov_solver = os.environ.get("MMADMM_BE_KRYLOV", "cgstab")
+        if krylov_solver not in ("cgstab", "cg", "scipy"):
+            raise ValueError(f"unknown krylov_solver {krylov_solver!r}")
+        self.krylov_solver = krylov_solver
 
         dt_tau = self.dt / mesh.tau
         safety = 0.1  # SAFETY_FAC (Mesh.cpp:1268)
@@ -130,10 +150,18 @@ class BackwardEulerIntegrator:
                         )[1]
 
                     M = (lambda v: v / dj) if precondition else None
-                    dx, _ = jax.scipy.sparse.linalg.bicgstab(
-                        jvp, -Fv, tol=krylov_tol, maxiter=krylov_maxiter,
-                        M=M,
-                    )
+                    if krylov_solver == "scipy":
+                        dx, _ = jax.scipy.sparse.linalg.bicgstab(
+                            jvp, -Fv, tol=krylov_tol,
+                            maxiter=krylov_maxiter, M=M,
+                        )
+                    else:
+                        solve = (krylov.bicgstab if krylov_solver == "cgstab"
+                                 else krylov.cg)
+                        dx, _ = solve(
+                            jvp, -Fv, tol=krylov_tol,
+                            maxiter=krylov_maxiter, M=M,
+                        )
                     dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
                     return it + 1, xv, gnorm, gnorm
@@ -157,9 +185,35 @@ class BackwardEulerIntegrator:
         self._step_fn = step
         self._step_jit = jax.jit(step)
         self._multi_cache: dict[int, object] = {}
+        self._run_cache: dict[int, object] = {}
 
     def init_state(self) -> BackwardEulerState:
         return BackwardEulerState(x=self.mesh.X0)
+
+    def run_device(self, state, *, cap, dt_tol, target_ih=None,
+                   min_steps=0):
+        """Whole-run device loop (see ``ADMMIntegrator.run_device``).
+        Returns (state', ih_trace[cap] f64, steps i32)."""
+        cap = int(cap)
+        if cap not in self._run_cache:
+            from .device_loop import build_run_loop
+
+            step_fn = self._step_fn
+
+            def step2(s, c):
+                x, ih, _n = step_fn(s.x, *c)
+                return BackwardEulerState(x=x), ih
+
+            run = jax.jit(build_run_loop(step2, self.dt, cap))
+            self._run_cache[cap] = lambda s, *a: run(s, self._args, *a)
+        use = target_ih is not None
+        return self._run_cache[cap](
+            state,
+            jnp.asarray(dt_tol, jnp.float64),
+            jnp.asarray(target_ih if use else 0.0, jnp.float64),
+            jnp.asarray(use),
+            jnp.asarray(min_steps, jnp.int32),
+        )
 
     def step(self, state: BackwardEulerState):
         x, ih, n_newton = self._step_jit(state.x, *self._args)

@@ -39,9 +39,35 @@ class EulerIntegrator:
             (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
         )
         self._multi_cache: dict[int, object] = {}
+        self._run_cache: dict[int, object] = {}
 
     def init_state(self) -> EulerState:
         return EulerState(x=self.mesh.X0)
+
+    def run_device(self, state, *, cap, dt_tol, target_ih=None,
+                   min_steps=0):
+        """Whole-run device loop (see ``ADMMIntegrator.run_device``).
+        Returns (state', ih_trace[cap] f64, steps i32)."""
+        cap = int(cap)
+        if cap not in self._run_cache:
+            from .device_loop import build_run_loop
+
+            step_fn = self._step_fn
+
+            def step2(s, c):
+                x, ih = step_fn(s.x, *c)
+                return EulerState(x=x), ih
+
+            run = jax.jit(build_run_loop(step2, self.dt, cap))
+            self._run_cache[cap] = lambda s, *a: run(s, self._args, *a)
+        use = target_ih is not None
+        return self._run_cache[cap](
+            state,
+            jnp.asarray(dt_tol, jnp.float64),
+            jnp.asarray(target_ih if use else 0.0, jnp.float64),
+            jnp.asarray(use),
+            jnp.asarray(min_steps, jnp.int32),
+        )
 
     def step(self, state: EulerState):
         x, ih = self._step_jit(state.x, *self._args)
