@@ -95,6 +95,7 @@ class ADMMIntegrator:
         sticky_guard: bool = False,
         device_mesh=None,
         halo: bool | None = None,
+        j_carry: bool | None = None,
     ):
         self.mesh = mesh
         self.dt = float(dt)
@@ -120,6 +121,26 @@ class ADMMIntegrator:
         if halo is None:
             halo = os.environ.get("MMADMM_HALO", "1") != "0"
         self.halo = bool(halo)
+        # chord-Jacobian carry across prox calls/time steps. At 3D
+        # production sizes the carried [NF, 12, 12] tensor is the
+        # largest live buffer (442 MB at 3DMonitor240's 768k tets, held
+        # across the whole run + its while-loop double buffer) — the HBM
+        # gap VERDICT r3 item 3 names. ``j_carry=False`` drops it from
+        # the state entirely: the prox rebuilds the entry Jacobian each
+        # CALL (slab-streamed, ``ops.prox jac_batch``) and keeps it only
+        # for the call's lifetime. Auto: carry while the tensor is
+        # <= 400 MB; MMADMM_JCARRY=0/1 overrides.
+        if j_carry is None:
+            env = os.environ.get("MMADMM_JCARRY")
+            if env is not None:
+                j_carry = env != "0"
+            else:
+                nn = mesh.dim * (mesh.dim + 1)
+                j_bytes = (
+                    mesh.n_elements * nn * nn * jnp.dtype(mesh.dtype).itemsize
+                )
+                j_carry = j_bytes <= 400 * 2**20
+        self.j_carry = bool(j_carry)
         self._multi_cache: dict[int, Any] = {}
         self._run_cache: dict[int, Any] = {}
         if device_mesh is None:
@@ -147,9 +168,10 @@ class ADMMIntegrator:
         ih_last = jnp.asarray(jnp.inf, dtype=jnp.float64)
         rose = jnp.zeros((), dtype=bool)
         rises = jnp.zeros((), dtype=jnp.int32)
-        nn = self.mesh.dim * (self.mesh.dim + 1)
+        nn = (self.mesh.dim * (self.mesh.dim + 1)) if self.j_carry else 0
         # zeros + j_fresh=True — the first prox call of a run builds the
-        # real entry Jacobian
+        # real entry Jacobian. Size-0 placeholder when the carry is off
+        # (j_carry=False: the prox rebuilds J per call instead)
         J = jnp.zeros((n_elem, nn, nn), dtype=self.mesh.dtype)
         j_fresh = jnp.ones((), dtype=bool)
         if self.shards is not None:
@@ -293,11 +315,17 @@ class ADMMIntegrator:
                 i, _, x, gx, z, u_bar, J, ih_start, primal, dual = carry
                 dxpu = gx + u_bar
                 z_prev = z
-                fresh = jnp.logical_and(j_fresh, i == 0)
-                z, ih0_e, J = prox_fn(
-                    c["grid"], z, c["xi"], dxpu, c["elem_free"],
-                    prox_tol, prox_iters, (J, fresh),
-                )
+                if self.j_carry:
+                    fresh = jnp.logical_and(j_fresh, i == 0)
+                    z, ih0_e, J = prox_fn(
+                        c["grid"], z, c["xi"], dxpu, c["elem_free"],
+                        prox_tol, prox_iters, (J, fresh),
+                    )
+                else:
+                    z, ih0_e = prox_fn(
+                        c["grid"], z, c["xi"], dxpu, c["elem_free"],
+                        prox_tol, prox_iters,
+                    )
                 ih_cur = block_sum_f64(ih0_e)
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u_bar = dxpu - z
@@ -500,11 +528,17 @@ class ADMMIntegrator:
                 i, _, x, gx_l, z_l, u_l, J_l, ih_start, primal, dual = carry
                 dxpu_l = gx_l + u_l
                 z_prev_l = z_l
-                fresh = jnp.logical_and(j_fresh, i == 0)
-                z_l, ih0_e, J_l = prox_fn(
-                    grid, z_l, xi_l, dxpu_l, free_l, prox_tol, prox_iters,
-                    (J_l, fresh),
-                )
+                if self.j_carry:
+                    fresh = jnp.logical_and(j_fresh, i == 0)
+                    z_l, ih0_e, J_l = prox_fn(
+                        grid, z_l, xi_l, dxpu_l, free_l, prox_tol,
+                        prox_iters, (J_l, fresh),
+                    )
+                else:
+                    z_l, ih0_e = prox_fn(
+                        grid, z_l, xi_l, dxpu_l, free_l, prox_tol,
+                        prox_iters,
+                    )
                 ih_cur = jax.lax.psum(
                     block_sum_f64(ih0_e * valid_l), "elems"
                 )

@@ -131,8 +131,17 @@ class MovingMesh:
                 "backend was removed after it failed to compile on TPU "
                 "hardware — see COVERAGE.md 'Prox backend decision')"
             )
+        # entry-Jacobian slab size: the jacfwd build is the peak-memory op
+        # at production 3D sizes (12 tangent copies of the per-element
+        # intermediates); stream it through bounded slabs there. 2D (6x6)
+        # and small 3D keep the single full-batch vmap.
+        jac_batch = os.environ.get("MMADMM_JAC_BATCH")
+        if jac_batch is not None:
+            jac_batch = int(jac_batch) or None
+        elif self.dim == 3 and self.n_elements > 300_000:
+            jac_batch = 131_072
         self.prox_fn = make_prox_solver(
-            self.ehat, self.comp_mesh, self.w, self.dim
+            self.ehat, self.comp_mesh, self.w, self.dim, jac_batch=jac_batch
         )
         self.prox_backend = prox_backend
 

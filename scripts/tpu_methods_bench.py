@@ -1,9 +1,21 @@
-"""TPU timing for the two baseline integrators (methods 1 = explicit
-Euler, 2 = backward Euler) — the reference's own cross-validation
-methods, timed against its recorded traces
-(Results/<cfg>/Ih{1,2}.txt: wall seconds, Ih per step).
+"""TPU timing for the baseline integrators (methods 1 = explicit Euler,
+2 = backward Euler; 0 = MM-ADMM also supported) — the reference's own
+cross-validation methods, timed against its recorded traces
+(Results/<cfg>/Ih{m}.txt: wall seconds, Ih per step).
 
-Appends results to Results/tpu_bench.json as "<cfg>_m<method>".
+Round-4 methodology: the WHOLE outer loop runs as one device program
+(``integrators/device_loop.py``) so small configs pay a single ~100-250 ms
+tunnel dispatch instead of one per chunk — that dispatch latency was the
+entire deficit on the sub-1 s reference rows (VERDICT r3 item 2). Two
+timed phases, both honest wall clock on fresh state with a warm program:
+
+  A. DtTol run — the reference's own stop (main.cpp:200-208);
+  B. target run — stops at the LAST downward crossing of the reference's
+     final Ih (found from phase A's trace; ``min_steps`` arms the stop so
+     a transient dip doesn't count). Reported as t_to_ref_quality.
+
+``MMADMM_BENCH_MODE=chunked`` restores the round-3 host-chunked loop for
+A/B. Appends results to Results/tpu_bench.json as "<cfg>_m<method>".
 """
 
 import json
@@ -25,12 +37,22 @@ REF = {
     ("Monitor140", 2): (1.19467, 0.813162),
     ("Monitor120", 1): (0.0991, 0.813163),
     ("Monitor120", 2): (0.2792, 0.813163),
+    # Euler is the reference's FASTEST method on Monitor2320 (its DtTol
+    # stop fires after 7 steps at a much worse energy than ADMM reaches):
+    # Results/Monitor2320/Ih1.txt last row. The Single*.json mean (6.8 s)
+    # includes setup; the trace time is the in-loop number.
+    ("Monitor2320", 1): (1.1905, 2.62331),
     ("3DMonitor110", 1): (1.224, 1.55916),
     ("3DMonitor110", 2): (4.871, 1.55909),
+    # CompMesh family (xi-mesh Ehat): Results/3DMonitor310/Ih0.txt
+    ("3DMonitor310", 0): (4.04989, 0.868609),
+    # 3DMonitor320 ships no trace; Data/3DMonitor3/Single3DMonitor320.json
+    ("3DMonitor320", 0): (32.392, None),
 }
 
 name = sys.argv[1] if len(sys.argv) > 1 else "Monitor1320"
 methods = [int(m) for m in sys.argv[2:]] or [1, 2]
+MODE = os.environ.get("MMADMM_BENCH_MODE", "device")
 
 from mmadmm_tpu.config import load_experiment_config
 from mmadmm_tpu.problems import build_problem
@@ -38,25 +60,63 @@ from mmadmm_tpu.runtime.cache import enable_persistent_cache
 
 enable_persistent_cache()
 import jax
+import numpy as np
 
-for method in methods:
-    cfg = load_experiment_config(
-        f"/root/reference/Experiments/InputFiles/{name}.json"
+
+def last_downward_crossing(trace, steps, target):
+    """0-based step index k such that ih[j] <= target for all j in
+    [k, steps), or None. (The host bench's reset-on-rise rule.)"""
+    if target is None:
+        return None
+    ih = np.asarray(trace)[:steps]
+    above = np.nonzero(ih > target)[0]
+    k = (above[-1] + 1) if above.size else 0
+    return int(k) if k < steps else None
+
+
+def run_device_bench(integ, cfg, ref_s, ref_ih):
+    cap = cfg.n_steps
+    t0 = time.perf_counter()
+    s, trace, steps = integ.run_device(
+        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol
     )
-    cfg.method = method
-    cfg.dtype = "float32"
-    mesh, integ = build_problem(cfg)
-    # scan K steps per dispatch; the tunnel's per-dispatch round trip is
-    # ~100-250 ms, so small problems need big chunks
+    jax.block_until_ready(s.x)
+    print(f"  compile+first run {time.perf_counter() - t0:.1f}s "
+          f"({int(steps)} steps)", flush=True)
+
+    t0 = time.perf_counter()
+    s, trace, steps = integ.run_device(
+        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol
+    )
+    jax.block_until_ready(s.x)
+    wall = time.perf_counter() - t0
+    steps = int(steps)
+    tr = np.asarray(trace)
+    ih_final = float(tr[steps - 1])
+
+    k = last_downward_crossing(tr, steps, ref_ih)
+    t_target = None
+    if k is not None:
+        t0 = time.perf_counter()
+        s2, _, st2 = integ.run_device(
+            integ.init_state(), cap=cap, dt_tol=cfg.dt_tol,
+            target_ih=ref_ih, min_steps=k + 1,
+        )
+        jax.block_until_ready(s2.x)
+        t_target = time.perf_counter() - t0
+        print(f"  target stop at step {int(st2)} (crossing {k + 1}), "
+              f"{t_target:.3f}s", flush=True)
+    return wall, steps, ih_final, t_target
+
+
+def run_chunked_bench(integ, cfg, ref_s, ref_ih, method):
     chunk = 25 if method == 1 else 4
     state = integ.init_state()
     t0 = time.perf_counter()
     state, _ = integ.multi_step(state, chunk)
     jax.block_until_ready(state.x)
-    print(f"m{method}: compile+first {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    print(f"  compile+first {time.perf_counter() - t0:.1f}s", flush=True)
 
-    ref_s, ref_ih = REF.get((name, method), (None, None))
     state = integ.init_state()
     ih_prev = None
     t_target = None
@@ -64,7 +124,8 @@ for method in methods:
     steps = 0
     done = False
     while steps < cfg.n_steps and not done:
-        state, ihs = integ.multi_step(state, chunk)
+        state, out = integ.multi_step(state, chunk)
+        ihs = out.ih_start if hasattr(out, "ih_start") else out
         now = time.perf_counter() - t0
         for ih in [float(v) for v in ihs]:
             steps += 1
@@ -80,12 +141,29 @@ for method in methods:
                 break
             ih_prev = ih
         if steps % 100 < chunk:
-            print(f"m{method}: step {steps} ih {ih:.6f} (+{now:.1f}s)",
-                  flush=True)
+            print(f"  step {steps} ih {ih:.6f} (+{now:.1f}s)", flush=True)
     jax.block_until_ready(state.x)
-    wall = time.perf_counter() - t0
+    return time.perf_counter() - t0, steps, ih_prev, t_target
+
+
+for method in methods:
+    cfg = load_experiment_config(
+        f"/root/reference/Experiments/InputFiles/{name}.json"
+    )
+    cfg.method = method
+    cfg.dtype = "float32"
+    mesh, integ = build_problem(cfg)
+    ref_s, ref_ih = REF.get((name, method), (None, None))
+    print(f"m{method}: mode={MODE} NF={mesh.n_elements}", flush=True)
+
+    if MODE == "device":
+        wall, steps, ih, t_target = run_device_bench(integ, cfg, ref_s, ref_ih)
+    else:
+        wall, steps, ih, t_target = run_chunked_bench(
+            integ, cfg, ref_s, ref_ih, method
+        )
     print(
-        f"m{method}: stop at {wall:.2f}s / {steps} steps, final {ih:.6f}; "
+        f"m{method}: stop at {wall:.3f}s / {steps} steps, final {ih:.6f}; "
         f"ref quality ({ref_ih}) at {t_target}s vs ref {ref_s}s",
         flush=True,
     )
@@ -95,7 +173,7 @@ for method in methods:
         with open(rec_path) as f:
             records = json.load(f)
     t_cmp = t_target if t_target is not None else wall
-    records[f"{name}_m{method}"] = {
+    records[f"{name}_m{method}" if method else name] = {
         "t_to_ref_quality_s": None if t_target is None else round(t_target, 3),
         "t_dttol_stop_s": round(wall, 3),
         "steps": steps,
@@ -103,6 +181,7 @@ for method in methods:
         "ref_seconds": ref_s,
         "ref_final_ih": ref_ih,
         "vs_baseline": None if ref_s is None else round(ref_s / t_cmp, 3),
+        "mode": MODE,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.dirname(rec_path), exist_ok=True)
