@@ -9,16 +9,23 @@ TPU-native redesign is matrix-free:
 
   F(x) = (dt/tau) grad I(x) + (x - x^n)        (Mesh.cpp:1289-1293)
 
-Newton with *exact* Jacobian-vector products via ``jax.jvp`` of the
-assembled gradient (no FD assembly at all), inner solves with the
-hand-rolled fixed-trip BiCGStab from ``ops.krylov`` (the reference's
-``scaler_cgstab``, accel_class.cpp:280). Round 3 used
-``jax.scipy.sparse.linalg.bicgstab`` here; its nested
-``while_loop(while_loop)`` program reproducibly faulted the TPU worker at
->=77k 2D elements, so the inner solve is now a fixed-iteration
-``fori_loop`` with masked convergence — structurally un-nested (VERDICT
-r3 item 1 route (b); ``MMADMM_BE_KRYLOV=scipy`` restores the old solver
-for A/B). An optional diagonal (Jacobi)
+Newton with *exact* Jacobian-vector products, inner solves with the
+hand-rolled BiCGStab from ``ops.krylov`` (the reference's
+``scaler_cgstab``, accel_class.cpp:280).
+
+The default Jvp is EXPLICIT: per-element Hessians ``He [NF, n, n]`` of
+the Huang energy (``jax.hessian`` with frozen interpolation cells, the
+same jacfwd-in-while structure the ADMM prox runs at 4x this size), and
+``J v = v + dt/tau * interior_mask * scatter(He @ gather(v))`` — a pure
+gather/VPU-matmul/scatter pipeline, with the BiCGStab iterations emitted
+UNROLLED (straight-line, maxiter<=8). This shape is forced by a TPU
+backend fault bisected in ``scripts/tpu_be_probe.py``: at >=77k 2D
+elements, a ``lax.while_loop`` wrapping either jax.scipy's nested-while
+bicgstab OR a fori-loop ``jax.jvp`` matvec kills the worker ("kernel
+fault"), while each single Newton iteration passes — so the while body
+must contain no fori/while and no jvp. ``MMADMM_BE_KRYLOV`` selects
+``hess`` (default) | ``cgstab`` (fori + jax.jvp matvec) | ``cg`` |
+``scipy`` for A/B. An optional diagonal (Jacobi)
 chord preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` is
 available (``precondition=True``; exact Hessian diagonal assembled from
 per-element ``jax.hessian`` diagonals once per step) but is OFF by
@@ -57,7 +64,7 @@ class BackwardEulerIntegrator:
         tol: float = 1e-3,
         max_newton: int = 1000,
         krylov_tol: float = 1e-6,
-        krylov_maxiter: int = 40,
+        krylov_maxiter: int | None = None,
         krylov_solver: str | None = None,
         precondition: bool = False,
     ):
@@ -65,16 +72,22 @@ class BackwardEulerIntegrator:
         self.dt = float(dt)
         self.tol = float(tol)
         self.max_newton = int(max_newton)
-        # cgstab (default): ops.krylov fixed-trip BiCGStab; cg: ops.krylov
-        # CG (the system I + dt/tau Hess is symmetric wherever the energy
-        # is C^2); scipy: the round-3 jax.scipy solver kept for A/B — its
-        # nested while_loop program faults the TPU worker at >=77k 2D
-        # elements.
+        # hess (default): explicit per-element Hessians + UNROLLED
+        # BiCGStab — the only structure that survives the TPU while-loop
+        # fault at scale (see module docstring); cgstab/cg: ops.krylov
+        # fori-loop solvers on a jax.jvp matvec; scipy: the round-3
+        # jax.scipy solver. All kept for A/B.
         if krylov_solver is None:
-            krylov_solver = os.environ.get("MMADMM_BE_KRYLOV", "cgstab")
-        if krylov_solver not in ("cgstab", "cg", "scipy"):
+            krylov_solver = os.environ.get("MMADMM_BE_KRYLOV", "hess")
+        if krylov_solver not in ("hess", "cgstab", "cg", "scipy"):
             raise ValueError(f"unknown krylov_solver {krylov_solver!r}")
         self.krylov_solver = krylov_solver
+        if krylov_maxiter is None:
+            # unrolled solves must stay short; the BE system is a small
+            # perturbation of the identity (dt/tau <= 0.1 at the shipped
+            # configs) and converges in ~3 iterations (tpu_be_probe:
+            # rnorm2 1.2e-19 after 3)
+            krylov_maxiter = 8 if krylov_solver == "hess" else 40
 
         dt_tau = self.dt / mesh.tau
         safety = 0.1  # SAFETY_FAC (Mesh.cpp:1268)
@@ -87,10 +100,15 @@ class BackwardEulerIntegrator:
         )
 
         from ..ops import huang
+        from ..ops.monitor_grid import gather_cell
         from ..ops.scatter import gather_elements, scatter_add_dense
 
         ehat, cm = mesh.ehat, mesh.comp_mesh
         dp1, dim = mesh.dim + 1, mesh.dim
+        n = dp1 * dim
+        gather_cells = jax.vmap(
+            jax.vmap(gather_cell, in_axes=(None, 0)), in_axes=(None, 0)
+        )
 
         def step(x, F, xi, grid, masks):
             _, interior_nodes, dense_idx = masks
@@ -101,6 +119,41 @@ class BackwardEulerIntegrator:
 
             def residual(xv, xn):
                 return dt_tau * grad_i(xv) + (xv - xn)
+
+            def elem_hess(xv):
+                """Exact per-element Hessians of the Huang energy at xv,
+                interpolation cells frozen at xv (identical linearization
+                to jax.jvp of the assembled gradient: cell indices are
+                piecewise-constant in position, so their tangent is 0)."""
+                z = gather_elements(xv, F)
+                cells = gather_cells(grid, z)
+
+                def h_one(zf, xi_e, cells_e):
+                    return jax.hessian(
+                        lambda q: huang.element_energy(
+                            q.reshape(dp1, dim), xi_e, None, ehat, cm,
+                            cells=cells_e,
+                        )
+                    )(zf)
+
+                return jax.vmap(h_one)(z.reshape(-1, n), xi, cells)
+
+            def matvec_from(He):
+                """J v = v + dt/tau * interior * scatter(He @ gather(v)) —
+                the global Hessian is the scatter-sum of the element
+                blocks (Dmat structure). The 6x6/12x12 products run as
+                VPU multiply-sum (no dot_general: TPU f32 matmuls default
+                to bf16 passes)."""
+
+                def mv(v):
+                    ve = gather_elements(v, F).reshape(-1, n)
+                    hv = jnp.sum(He * ve[:, None, :], axis=2)
+                    out = scatter_add_dense(
+                        hv.reshape(-1, dp1, dim), dense_idx
+                    )
+                    return v + dt_tau * (out * interior_nodes)
+
+                return mv
 
             def jac_diag(xv):
                 """diag(J) = 1 + (dt/tau) diag(Hess I), exact: the global
@@ -144,24 +197,33 @@ class BackwardEulerIntegrator:
                     Fv = residual(xv, xn)
                     gnorm = block_sum_f64(jnp.abs(Fv))
 
-                    def jvp(v):
-                        return jax.jvp(
-                            lambda y: residual(y, xn), (xv,), (v,)
-                        )[1]
-
                     M = (lambda v: v / dj) if precondition else None
-                    if krylov_solver == "scipy":
-                        dx, _ = jax.scipy.sparse.linalg.bicgstab(
-                            jvp, -Fv, tol=krylov_tol,
-                            maxiter=krylov_maxiter, M=M,
+                    if krylov_solver == "hess":
+                        mv = matvec_from(elem_hess(xv))
+                        dx, _ = krylov.bicgstab(
+                            mv, -Fv, tol=krylov_tol,
+                            maxiter=krylov_maxiter, M=M, unroll=True,
                         )
                     else:
-                        solve = (krylov.bicgstab if krylov_solver == "cgstab"
-                                 else krylov.cg)
-                        dx, _ = solve(
-                            jvp, -Fv, tol=krylov_tol,
-                            maxiter=krylov_maxiter, M=M,
-                        )
+                        def jvp(v):
+                            return jax.jvp(
+                                lambda y: residual(y, xn), (xv,), (v,)
+                            )[1]
+
+                        if krylov_solver == "scipy":
+                            dx, _ = jax.scipy.sparse.linalg.bicgstab(
+                                jvp, -Fv, tol=krylov_tol,
+                                maxiter=krylov_maxiter, M=M,
+                            )
+                        else:
+                            solve = (
+                                krylov.bicgstab
+                                if krylov_solver == "cgstab" else krylov.cg
+                            )
+                            dx, _ = solve(
+                                jvp, -Fv, tol=krylov_tol,
+                                maxiter=krylov_maxiter, M=M,
+                            )
                     dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
                     return it + 1, xv, gnorm, gnorm

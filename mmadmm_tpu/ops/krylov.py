@@ -49,13 +49,23 @@ def _safe_div(num, den):
     return jnp.where(bad, 0.0, num / jnp.where(bad, 1.0, den))
 
 
-def bicgstab(matvec, b, *, tol: float = 1e-6, maxiter: int = 50, M=None):
+def bicgstab(matvec, b, *, tol: float = 1e-6, maxiter: int = 50, M=None,
+             unroll: bool = False):
     """BiCGStab (van der Vorst) — the reference's default accelerator
     (``scaler_cgstab::acc_scaler``, accel_class.cpp:280; iaccel=0 at
     Mesh.cpp:300). Fixed ``maxiter`` fori_loop, masked convergence.
 
     matvec: x -> A x (same shape); M: optional preconditioner v -> M^-1 v.
     Returns (x, info) with info = (iterations_used i32, final ||r||^2 f64).
+
+    ``unroll=True`` emits the ``maxiter`` iterations as straight-line code
+    instead of a ``fori_loop`` — required when the solve sits inside a
+    ``lax.while_loop`` on this TPU backend: while(fori(jvp-matvec))
+    programs fault the worker at >=77k 2D elements (bisected in
+    scripts/tpu_be_probe.py: one Newton iteration PASSES, the while-
+    wrapped step FAULTS), while straight-line bodies inside while_loops
+    are the prox's proven structure at 4x that size. Keep maxiter small
+    (<=10) when unrolling.
     """
     if M is None:
         M = lambda v: v
@@ -104,9 +114,13 @@ def bicgstab(matvec, b, *, tol: float = 1e-6, maxiter: int = 50, M=None):
         x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
         one, one, one, _dot(r0, r0), jnp.zeros((), jnp.int32),
     )
-    x, _r, _p, _v, _rho, _a, _w, rnorm2, iters = jax.lax.fori_loop(
-        0, maxiter, body, init
-    )
+    if unroll:
+        carry = init
+        for i in range(maxiter):
+            carry = body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, maxiter, body, init)
+    x, _r, _p, _v, _rho, _a, _w, rnorm2, iters = carry
     return x, (iters, rnorm2)
 
 

@@ -59,11 +59,12 @@ def test_bicgstab_zero_rhs():
     np.testing.assert_array_equal(np.asarray(x), np.zeros(8))
 
 
-@pytest.mark.parametrize("solver", ["cg", "scipy"])
+@pytest.mark.parametrize("solver", ["cg", "scipy", "hess"])
 def test_backward_euler_solver_agreement(solver):
-    """The fixed-trip cgstab BE path matches the round-3 jax.scipy path
-    (and the CG path) on a real config — same Newton systems, same
-    trajectories to solver tolerance."""
+    """The default hess BE path (explicit element Hessians + unrolled
+    CGSTAB) matches the jvp-matvec paths (cgstab/cg fori, round-3
+    jax.scipy) on a real config — same Newton systems, same trajectories
+    to solver tolerance."""
     from mmadmm_tpu.config import load_experiment_config
     from mmadmm_tpu.problems import build_problem
 
