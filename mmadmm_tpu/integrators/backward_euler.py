@@ -67,8 +67,10 @@ class BackwardEulerIntegrator:
         krylov_maxiter: int | None = None,
         krylov_solver: str | None = None,
         precondition: bool = False,
+        device_mesh=None,
     ):
         self.mesh = mesh
+        self.device_mesh = device_mesh
         self.dt = float(dt)
         self.tol = float(tol)
         self.max_newton = int(max_newton)
@@ -244,13 +246,133 @@ class BackwardEulerIntegrator:
             ih = mesh._energy_impl(x, F, xi, grid)
             return x, ih, n_newton
 
-        self._step_fn = step
-        self._step_jit = jax.jit(step)
+        if device_mesh is None:
+            self.shards = None
+            self._step_fn = step
+            self._step_jit = jax.jit(step)
+        else:
+            # SPMD backward Euler over the "elems" axis: shard-local
+            # gradient/Hessian assembly + one psum per matvec/gradient;
+            # Krylov vectors and x stay replicated so the f64 block dots
+            # are computed identically on every shard (deterministic).
+            # The reference's BE is single-process (Mesh.cpp:1264-1341) —
+            # this is new capability, like the sharded Euler.
+            assert krylov_solver == "hess", (
+                "sharded BE supports the hess solver only"
+            )
+            assert not precondition
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import put_global
+            from .euler import build_sharded_gradient
+
+            shards = mesh.build_shards(device_mesh.devices.size)
+            assert shards.dense_idx is not None, (
+                "sharded BE requires the degree-padded scatter plan"
+            )
+            self.shards = shards
+            grad_at = build_sharded_gradient(mesh, shards)
+            n_pnts = mesh.n_pnts
+
+            def local_step(x, F_l, xi_l, valid_l, dense_l, grid, interior):
+                def grad_i(xv):
+                    _, g = grad_at(xv, F_l, xi_l, valid_l, dense_l, grid,
+                                   interior)
+                    return g
+
+                def residual(xv, xn):
+                    return dt_tau * grad_i(xv) + (xv - xn)
+
+                def elem_hess_l(xv):
+                    z = xv[F_l]
+                    cells = gather_cells(grid, z)
+
+                    def h_one(zf, xi_e, cells_e):
+                        return jax.hessian(
+                            lambda q: huang.element_energy(
+                                q.reshape(dp1, dim), xi_e, None, ehat, cm,
+                                cells=cells_e,
+                            )
+                        )(zf)
+
+                    return jax.vmap(h_one)(z.reshape(-1, n), xi_l, cells)
+
+                def matvec_from(He):
+                    def mv(v):
+                        ve = v[F_l].reshape(-1, n)
+                        hv = jnp.sum(He * ve[:, None, :], axis=2)
+                        hv = hv * valid_l[:, None]
+                        part = scatter_add_dense(
+                            hv.reshape(-1, dp1, dim),
+                            dense_l.reshape(n_pnts, -1),
+                        )
+                        out = jax.lax.psum(part, "elems")
+                        return v + dt_tau * (out * interior)
+
+                    return mv
+
+                def cond(carry):
+                    it, _, gnorm, _ = carry
+                    return jnp.logical_and(
+                        it < self.max_newton, gnorm >= safety * self.tol
+                    )
+
+                def body(carry):
+                    it, xv, _, _ = carry
+                    Fv = residual(xv, xn)
+                    gnorm = block_sum_f64(jnp.abs(Fv))
+                    mv = matvec_from(elem_hess_l(xv))
+                    dx, _ = krylov.bicgstab(
+                        mv, -Fv, tol=krylov_tol,
+                        maxiter=krylov_maxiter, unroll=True,
+                    )
+                    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
+                    xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
+                    return it + 1, xv, gnorm, gnorm
+
+                xn = x
+                x = x - dt_tau * grad_i(x)
+                F0 = residual(x, xn)
+                g0 = block_sum_f64(jnp.abs(F0))
+                n_newton, x, _, _ = jax.lax.while_loop(
+                    cond, body, (jnp.zeros((), jnp.int32), x, g0, jnp.inf)
+                )
+                ih, _ = grad_at(x, F_l, xi_l, valid_l, dense_l, grid,
+                                interior)
+                return x, ih, n_newton
+
+            sharded = shard_map(
+                local_step,
+                mesh=device_mesh,
+                in_specs=(P(), P("elems"), P("elems"), P("elems"),
+                          P("elems", None, None), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            self._step_fn = sharded
+            self._step_jit = jax.jit(sharded)
+            self._args = tuple(
+                put_global(a, device_mesh, s)
+                for a, s in zip(
+                    (shards.F, shards.xi, shards.valid, shards.dense_idx,
+                     mesh.grid, mesh.interior_nodes),
+                    (P("elems"), P("elems"), P("elems"),
+                     P("elems", None, None), P(), P()),
+                )
+            )
         self._multi_cache: dict[int, object] = {}
         self._run_cache: dict[int, object] = {}
 
     def init_state(self) -> BackwardEulerState:
-        return BackwardEulerState(x=self.mesh.X0)
+        x0 = self.mesh.X0
+        if self.device_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import put_global
+
+            x0 = put_global(x0, self.device_mesh, P())
+        return BackwardEulerState(x=x0)
 
     def run_device(self, state, *, cap, dt_tol, target_ih=None,
                    min_steps=0):

@@ -4,6 +4,14 @@
 ``x <- x - (dt/tau) grad I(x)`` with the gradient assembled to INTERIOR
 nodes only (``Mesh::eulerStepMod``, ``src/Mesh.cpp:533-579``). Returns the
 functional value at the pre-step positions.
+
+Sharded execution (``device_mesh``): the element batch is sharded over the
+``"elems"`` mesh axis exactly like the ADMM step (RCB-ordered
+``ElemShards``); each shard assembles its local partial node gradient and
+one ``psum`` completes the field — the reference's eulerStepMod is a
+*serial* loop, so this is a new capability, not a port. Semantics match
+the single-device step to float reduction order
+(tests/test_spmd_methods.py).
 """
 
 from __future__ import annotations
@@ -14,35 +22,120 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh import MovingMesh
+from ..ops.reductions import block_sum_f64
 
 
 class EulerState(NamedTuple):
     x: jnp.ndarray
 
 
+def build_sharded_gradient(mesh: MovingMesh, shards):
+    """Shard-local (ih, grad) assembly for the ``interior_only`` gradient
+    path (Mesh::eulerStepMod semantics): per-element energy+grad on the
+    local slice, padding masked by ``valid``, one psum over ``"elems"``.
+    Returns ``grad_at(x, F_l, xi_l, valid_l, dense_l, grid, interior)``
+    for use INSIDE shard_map. Shared by the Euler and backward-Euler
+    sharded steps."""
+    from ..ops import huang
+    from ..ops.monitor_grid import gather_cell
+    from ..ops.scatter import scatter_add_dense
+
+    ehat, cm = mesh.ehat, mesh.comp_mesh
+    n_pnts = mesh.n_pnts
+
+    gather_cells = jax.vmap(
+        jax.vmap(gather_cell, in_axes=(None, 0)), in_axes=(None, 0)
+    )
+
+    def _eg(z, xi, cells):
+        return huang.element_energy_grad(
+            z, xi, None, ehat, cm, cells=cells
+        )
+
+    def grad_at(xv, F_l, xi_l, valid_l, dense_l, grid, interior):
+        z_l = xv[F_l]
+        cells_l = gather_cells(grid, z_l)
+        ih_e, g_e = jax.vmap(_eg)(z_l, xi_l, cells_l)
+        vals = g_e * valid_l[:, None, None]
+        part = scatter_add_dense(vals, dense_l.reshape(n_pnts, -1))
+        g = jax.lax.psum(part, "elems") * interior
+        ih = jax.lax.psum(block_sum_f64(ih_e * valid_l), "elems")
+        return ih, g
+
+    return grad_at
+
+
 class EulerIntegrator:
-    def __init__(self, mesh: MovingMesh, dt: float):
+    def __init__(self, mesh: MovingMesh, dt: float, *, device_mesh=None):
         self.mesh = mesh
         self.dt = float(dt)
         dt_tau = self.dt / mesh.tau
-
-        # mesh arrays are call arguments, not closure constants (same
-        # compile-size rationale as ADMMIntegrator._consts)
-        def step(x, F, xi, grid, masks):
-            ih, g = mesh._gradient_impl(x, F, xi, grid, masks, True)
-            return x - dt_tau * g, ih
-
-        self._step_fn = step
-        self._step_jit = jax.jit(step)
-        self._args = (
-            mesh.F, mesh.xi, mesh.grid,
-            (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
-        )
+        self.device_mesh = device_mesh
         self._multi_cache: dict[int, object] = {}
         self._run_cache: dict[int, object] = {}
 
+        if device_mesh is None:
+            self.shards = None
+
+            # mesh arrays are call arguments, not closure constants (same
+            # compile-size rationale as ADMMIntegrator._consts)
+            def step(x, F, xi, grid, masks):
+                ih, g = mesh._gradient_impl(x, F, xi, grid, masks, True)
+                return x - dt_tau * g, ih
+
+            self._step_fn = step
+            self._step_jit = jax.jit(step)
+            self._args = (
+                mesh.F, mesh.xi, mesh.grid,
+                (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+            )
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import put_global
+
+            shards = mesh.build_shards(device_mesh.devices.size)
+            assert shards.dense_idx is not None, (
+                "sharded Euler requires the degree-padded scatter plan"
+            )
+            self.shards = shards
+            grad_at = build_sharded_gradient(mesh, shards)
+
+            def local_step(x, F_l, xi_l, valid_l, dense_l, grid, interior):
+                ih, g = grad_at(x, F_l, xi_l, valid_l, dense_l, grid,
+                                interior)
+                return x - dt_tau * g, ih
+
+            sharded = shard_map(
+                local_step,
+                mesh=device_mesh,
+                in_specs=(P(), P("elems"), P("elems"), P("elems"),
+                          P("elems", None, None), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            self._step_fn = sharded
+            self._step_jit = jax.jit(sharded)
+            self._args = tuple(
+                put_global(a, device_mesh, s)
+                for a, s in zip(
+                    (shards.F, shards.xi, shards.valid, shards.dense_idx,
+                     mesh.grid, mesh.interior_nodes),
+                    (P("elems"), P("elems"), P("elems"),
+                     P("elems", None, None), P(), P()),
+                )
+            )
+
     def init_state(self) -> EulerState:
-        return EulerState(x=self.mesh.X0)
+        x0 = self.mesh.X0
+        if self.device_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import put_global
+
+            x0 = put_global(x0, self.device_mesh, P())
+        return EulerState(x=x0)
 
     def run_device(self, state, *, cap, dt_tol, target_ih=None,
                    min_steps=0):
@@ -82,9 +175,9 @@ class EulerIntegrator:
         if k not in self._multi_cache:
             step_fn = self._step_fn
 
-            def scan_fn(x, F, xi, grid, masks):
+            def scan_fn(x, *args):
                 def body(xc, _):
-                    xn, ih = step_fn(xc, F, xi, grid, masks)
+                    xn, ih = step_fn(xc, *args)
                     return xn, ih
 
                 return jax.lax.scan(body, x, None, length=k)

@@ -79,12 +79,12 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
         dtype=_DTYPES[cfg.dtype],
         prox_backend=cfg.prox_backend,
     )
-    if cfg.method == 0:
-        device_mesh = None
-        if cfg.n_devices > 1:
-            from .parallel import make_device_mesh
+    device_mesh = None
+    if cfg.n_devices > 1:
+        from .parallel import make_device_mesh
 
-            device_mesh = make_device_mesh(cfg.n_devices)
+        device_mesh = make_device_mesh(cfg.n_devices)
+    if cfg.method == 0:
         integ = ADMMIntegrator(
             mesh, cfg.dt,
             admm_iters=cfg.admm_iter, tol=cfg.step_tol,
@@ -92,9 +92,11 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
             device_mesh=device_mesh,
         )
     elif cfg.method == 1:
-        integ = EulerIntegrator(mesh, cfg.dt)
+        integ = EulerIntegrator(mesh, cfg.dt, device_mesh=device_mesh)
     elif cfg.method == 2:
-        integ = BackwardEulerIntegrator(mesh, cfg.dt, tol=cfg.step_tol)
+        integ = BackwardEulerIntegrator(
+            mesh, cfg.dt, tol=cfg.step_tol, device_mesh=device_mesh
+        )
     else:
         raise ValueError(f"unknown method {cfg.method}")
     return mesh, integ
