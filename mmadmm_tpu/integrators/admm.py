@@ -130,6 +130,8 @@ class ADMMIntegrator:
         # CALL (slab-streamed, ``ops.prox jac_batch``) and keeps it only
         # for the call's lifetime. Auto: carry while the tensor is
         # <= 400 MB; MMADMM_JCARRY=0/1 overrides.
+        if j_carry is None and mesh.prox_backend == "pallas":
+            j_carry = False  # the kernel rebuilds its Jacobian in VMEM
         if j_carry is None:
             env = os.environ.get("MMADMM_JCARRY")
             if env is not None:

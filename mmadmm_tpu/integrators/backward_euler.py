@@ -126,16 +126,23 @@ class BackwardEulerIntegrator:
                 """Exact per-element Hessians of the Huang energy at xv,
                 interpolation cells frozen at xv (identical linearization
                 to jax.jvp of the assembled gradient: cell indices are
-                piecewise-constant in position, so their tangent is 0)."""
+                piecewise-constant in position, so their tangent is 0).
+                Built as jacfwd of the ANALYTIC gradient — the prox's
+                proven jacfwd-in-while structure (ops/prox.py jac_fn); no
+                reverse-mode anywhere in the while body."""
                 z = gather_elements(xv, F)
                 cells = gather_cells(grid, z)
 
+                def g_one(zf, xi_e, cells_e):
+                    _, g = huang.element_energy_grad(
+                        zf.reshape(dp1, dim), xi_e, None, ehat, cm,
+                        cells=cells_e,
+                    )
+                    return g.reshape(n)
+
                 def h_one(zf, xi_e, cells_e):
-                    return jax.hessian(
-                        lambda q: huang.element_energy(
-                            q.reshape(dp1, dim), xi_e, None, ehat, cm,
-                            cells=cells_e,
-                        )
+                    return jax.jacfwd(
+                        lambda q: g_one(q, xi_e, cells_e)
                     )(zf)
 
                 return jax.vmap(h_one)(z.reshape(-1, n), xi, cells)
@@ -285,15 +292,17 @@ class BackwardEulerIntegrator:
                     return dt_tau * grad_i(xv) + (xv - xn)
 
                 def elem_hess_l(xv):
+                    # jacfwd of the analytic gradient, like the
+                    # single-device elem_hess (no reverse-mode in-while)
                     z = xv[F_l]
                     cells = gather_cells(grid, z)
 
                     def h_one(zf, xi_e, cells_e):
-                        return jax.hessian(
-                            lambda q: huang.element_energy(
+                        return jax.jacfwd(
+                            lambda q: huang.element_energy_grad(
                                 q.reshape(dp1, dim), xi_e, None, ehat, cm,
                                 cells=cells_e,
-                            )
+                            )[1].reshape(n)
                         )(zf)
 
                     return jax.vmap(h_one)(z.reshape(-1, n), xi_l, cells)

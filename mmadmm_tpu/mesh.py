@@ -125,12 +125,25 @@ class MovingMesh:
         # future work, not cargo.
         if prox_backend == "auto":
             prox_backend = os.environ.get("MMADMM_PROX", "vmap")
-        if prox_backend != "vmap":
-            raise ValueError(
-                f"unknown prox_backend {prox_backend!r} (the Pallas "
-                "backend was removed after it failed to compile on TPU "
-                "hardware — see COVERAGE.md 'Prox backend decision')"
+        if prox_backend == "pallas":
+            # round-4 component-form kernel (ops/prox_pallas2d.py): one
+            # (8,128) vreg per tensor entry, no shape casts — the fix the
+            # round-3 post-mortem identified after Mosaic rejected the
+            # matrix-form kernel's leading-dim casts. Scope: the headline
+            # 2D family (no comp mesh, symmetric 16-wide cell table).
+            ok = (
+                self.dim == 2 and not self.comp_mesh
+                and self.grid.cell_table is not None
+                and not self.grid.constant
+                and self.grid.cell_table.shape[-1] == 16
             )
+            if not ok:
+                raise ValueError(
+                    "prox_backend 'pallas' supports 2D non-comp-mesh "
+                    "symmetric-monitor problems only; use 'vmap'"
+                )
+        elif prox_backend != "vmap":
+            raise ValueError(f"unknown prox_backend {prox_backend!r}")
         # entry-Jacobian slab size: the jacfwd build is the peak-memory op
         # at production 3D sizes (12 tangent copies of the per-element
         # intermediates); stream it through bounded slabs there. 2D (6x6)
@@ -140,9 +153,18 @@ class MovingMesh:
             jac_batch = int(jac_batch) or None
         elif self.dim == 3 and self.n_elements > 300_000:
             jac_batch = 131_072
-        self.prox_fn = make_prox_solver(
-            self.ehat, self.comp_mesh, self.w, self.dim, jac_batch=jac_batch
-        )
+        if prox_backend == "pallas":
+            from .ops.prox_pallas2d import make_prox_pallas2d
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            self.prox_fn = make_prox_pallas2d(
+                self.ehat, self.w, interpret=interp
+            )
+        else:
+            self.prox_fn = make_prox_solver(
+                self.ehat, self.comp_mesh, self.w, self.dim,
+                jac_batch=jac_batch,
+            )
         self.prox_backend = prox_backend
 
         # batched element functions; grid passed as an argument, not closed

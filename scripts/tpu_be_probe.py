@@ -99,8 +99,83 @@ if "newton1" in stages:
     (x1, gn) = timed("newton1", jax.jit(newton_iter), xg, x0)
     print(f"  gnorm={float(gn):.3e}", flush=True)
 
+if "gradw" in stages:
+    # MINIMAL while: Newton-shaped loop, body = gradient assembly + f64
+    # block sum + damped step; NO krylov, NO hessian. Isolates
+    # while(gather+energy-grad+scatter+blocksum) at this size.
+    def gradw(x):
+        xn = x
+
+        def cond(c):
+            it, _, gn = c
+            return jnp.logical_and(it < 5, gn >= 1e-10)
+
+        def body(c):
+            it, xv, _ = c
+            Fv = residual(xv, xn)
+            gn = block_sum_f64(jnp.abs(Fv))
+            return it + 1, xv - 0.5 * Fv, gn
+
+        it, xv, gn = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, jnp.asarray(jnp.inf, jnp.float64))
+        )
+        return xv, gn
+
+    _, gn = timed("gradw", jax.jit(gradw), x0)
+    print(f"  gnorm={float(gn):.3e}", flush=True)
+
+if "hess1" in stages:
+    # one Newton iteration: jacfwd-analytic element Hessians + UNROLLED
+    # cgstab(8) on the explicit matvec — NO while anywhere
+    from mmadmm_tpu.ops import huang
+    from mmadmm_tpu.ops.monitor_grid import gather_cell
+    from mmadmm_tpu.ops.scatter import gather_elements, scatter_add_dense
+
+    dim = mesh.dim
+    dp1 = dim + 1
+    n = dim * dp1
+    ehat, cm = mesh.ehat, mesh.comp_mesh
+    elem_free, interior_nodes, dense_idx = masks
+    gather_cells = jax.vmap(
+        jax.vmap(gather_cell, in_axes=(None, 0)), in_axes=(None, 0)
+    )
+
+    def elem_hess(xv):
+        z = gather_elements(xv, F)
+        cells = gather_cells(grid, z)
+
+        def h_one(zf, xi_e, cells_e):
+            return jax.jacfwd(
+                lambda q: huang.element_energy_grad(
+                    q.reshape(dp1, dim), xi_e, None, ehat, cm,
+                    cells=cells_e,
+                )[1].reshape(n)
+            )(zf)
+
+        return jax.vmap(h_one)(z.reshape(-1, n), xi, cells)
+
+    def hess1(x):
+        xn = x
+        xv = x - dt_tau * grad_i(x)
+        Fv = residual(xv, xn)
+        He = elem_hess(xv)
+
+        def mv(v):
+            ve = gather_elements(v, F).reshape(-1, n)
+            hv = jnp.sum(He * ve[:, None, :], axis=2)
+            out = scatter_add_dense(hv.reshape(-1, dp1, dim), dense_idx)
+            return v + dt_tau * (out * interior_nodes)
+
+        dx, (iters, rn) = krylov.bicgstab(
+            mv, -Fv, tol=1e-6, maxiter=8, unroll=True
+        )
+        return xv + dx, iters, rn
+
+    _, its, rn = timed("hess1", jax.jit(hess1), x0)
+    print(f"  iters={int(its)} rnorm2={float(rn):.3e}", flush=True)
+
 if "step" in stages:
-    timed("step", lambda x: integ._step_jit(x, *integ._args), x0)
+    timed("step", lambda x: integ._step_jit(x, *integ._args)[0], x0)
 
 if "scan2" in stages:
     s = integ.init_state()
