@@ -74,22 +74,40 @@ class BackwardEulerIntegrator:
         self.dt = float(dt)
         self.tol = float(tol)
         self.max_newton = int(max_newton)
-        # hess (default): explicit per-element Hessians + UNROLLED
-        # BiCGStab — the only structure that survives the TPU while-loop
-        # fault at scale (see module docstring); cgstab/cg: ops.krylov
-        # fori-loop solvers on a jax.jvp matvec; scipy: the round-3
-        # jax.scipy solver. All kept for A/B.
+        # Solver selection, shaped by the TPU while-loop fault bisect
+        # (scripts/tpu_be_probe{,3}.py at Monitor1160 = 76.8k elements):
+        #   FAULT while(He + cgstab-on-real-matvec)   any Krylov variant
+        #   PASS  while(He + diag solve)                      [hessw]
+        #   PASS  while(cgstab machinery, trivial matvec)     [kryw]
+        #   PASS  while(He + Neumann matvec polynomial)       [neumw]
+        # i.e. each ingredient alone is fine; f64 dot-recurrences OVER
+        # real matvec outputs inside a while_loop kill the worker. The
+        # TPU-safe inner solve is therefore dot-free:
+        #   neumann (default) — Jacobi-preconditioned Richardson: exact
+        #     per-element Hessians, D = 1 + dt/tau*diag(H) scattered,
+        #     dx_{k+1} = dx_k + D^-1 (b - J dx_k), K fixed terms, one
+        #     final residual-norm safeguard (computed OUTSIDE the
+        #     polynomial, the gradw-proven pattern).
+        #   hess — unrolled BiCGStab on the explicit-Hessian matvec
+        #     (exact inner solve; CPU/small-mesh reference path).
+        #   cgstab/cg — ops.krylov fori solvers on a jax.jvp matvec.
+        #   scipy — the round-3 jax.scipy solver. All kept for A/B.
         if krylov_solver is None:
-            krylov_solver = os.environ.get("MMADMM_BE_KRYLOV", "hess")
-        if krylov_solver not in ("hess", "cgstab", "cg", "scipy"):
+            krylov_solver = os.environ.get("MMADMM_BE_KRYLOV", "neumann")
+        if krylov_solver not in ("neumann", "hess", "cgstab", "cg",
+                                 "scipy"):
             raise ValueError(f"unknown krylov_solver {krylov_solver!r}")
         self.krylov_solver = krylov_solver
         if krylov_maxiter is None:
-            # unrolled solves must stay short; the BE system is a small
+            # short fixed-term solves: the BE system is a small
             # perturbation of the identity (dt/tau <= 0.1 at the shipped
-            # configs) and converges in ~3 iterations (tpu_be_probe:
-            # rnorm2 1.2e-19 after 3)
-            krylov_maxiter = 8 if krylov_solver == "hess" else 40
+            # configs; cgstab converges in ~3 iterations, tpu_be_probe
+            # rnorm2 1.2e-19); Richardson contracts ~rho(D^-1 A_off) per
+            # term, 10 terms measured ample for the 1e-6 class
+            krylov_maxiter = (
+                10 if krylov_solver == "neumann"
+                else 8 if krylov_solver == "hess" else 40
+            )
 
         dt_tau = self.dt / mesh.tau
         safety = 0.1  # SAFETY_FAC (Mesh.cpp:1268)
@@ -207,7 +225,26 @@ class BackwardEulerIntegrator:
                     gnorm = block_sum_f64(jnp.abs(Fv))
 
                     M = (lambda v: v / dj) if precondition else None
-                    if krylov_solver == "hess":
+                    if krylov_solver == "neumann":
+                        He = elem_hess(xv)
+                        mv = matvec_from(He)
+                        d_e = jnp.diagonal(He, axis1=1, axis2=2)
+                        dvec = 1.0 + dt_tau * (
+                            scatter_add_dense(
+                                d_e.reshape(-1, dp1, dim), dense_idx
+                            ) * interior_nodes
+                        )
+                        b = -Fv
+                        dx = b / dvec
+                        for _ in range(krylov_maxiter):
+                            dx = dx + (b - mv(dx)) / dvec
+                        # safeguard OUTSIDE the polynomial: a diverged
+                        # solve (locally stiff He) falls back to the
+                        # plain Jacobi step
+                        rnorm = block_sum_f64(jnp.abs(b - mv(dx)))
+                        bnorm = block_sum_f64(jnp.abs(b))
+                        dx = jnp.where(rnorm <= bnorm, dx, b / dvec)
+                    elif krylov_solver == "hess":
                         mv = matvec_from(elem_hess(xv))
                         dx, _ = krylov.bicgstab(
                             mv, -Fv, tol=krylov_tol,
@@ -264,8 +301,8 @@ class BackwardEulerIntegrator:
             # are computed identically on every shard (deterministic).
             # The reference's BE is single-process (Mesh.cpp:1264-1341) —
             # this is new capability, like the sharded Euler.
-            assert krylov_solver == "hess", (
-                "sharded BE supports the hess solver only"
+            assert krylov_solver in ("hess", "neumann"), (
+                "sharded BE supports the hess/neumann solvers only"
             )
             assert not precondition
             from jax import shard_map
@@ -331,11 +368,30 @@ class BackwardEulerIntegrator:
                     it, xv, _, _ = carry
                     Fv = residual(xv, xn)
                     gnorm = block_sum_f64(jnp.abs(Fv))
-                    mv = matvec_from(elem_hess_l(xv))
-                    dx, _ = krylov.bicgstab(
-                        mv, -Fv, tol=krylov_tol,
-                        maxiter=krylov_maxiter, unroll=True,
-                    )
+                    He = elem_hess_l(xv)
+                    mv = matvec_from(He)
+                    if krylov_solver == "neumann":
+                        d_e = jnp.diagonal(He, axis1=1, axis2=2)
+                        d_e = d_e * valid_l[:, None]
+                        part = scatter_add_dense(
+                            d_e.reshape(-1, dp1, dim),
+                            dense_l.reshape(n_pnts, -1),
+                        )
+                        dvec = 1.0 + dt_tau * (
+                            jax.lax.psum(part, "elems") * interior
+                        )
+                        b = -Fv
+                        dx = b / dvec
+                        for _ in range(krylov_maxiter):
+                            dx = dx + (b - mv(dx)) / dvec
+                        rnorm = block_sum_f64(jnp.abs(b - mv(dx)))
+                        bnorm = block_sum_f64(jnp.abs(b))
+                        dx = jnp.where(rnorm <= bnorm, dx, b / dvec)
+                    else:
+                        dx, _ = krylov.bicgstab(
+                            mv, -Fv, tol=krylov_tol,
+                            maxiter=krylov_maxiter, unroll=True,
+                        )
                     dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
                     return it + 1, xv, gnorm, gnorm

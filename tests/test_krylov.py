@@ -59,7 +59,7 @@ def test_bicgstab_zero_rhs():
     np.testing.assert_array_equal(np.asarray(x), np.zeros(8))
 
 
-@pytest.mark.parametrize("solver", ["cg", "scipy", "hess"])
+@pytest.mark.parametrize("solver", ["cg", "scipy", "hess", "neumann"])
 def test_backward_euler_solver_agreement(solver):
     """The default hess BE path (explicit element Hessians + unrolled
     CGSTAB) matches the jvp-matvec paths (cgstab/cg fori, round-3
