@@ -270,7 +270,14 @@ class BackwardEulerIntegrator:
                                 jvp, -Fv, tol=krylov_tol,
                                 maxiter=krylov_maxiter, M=M,
                             )
-                    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
+                    # finiteness test as a dtype-typed min, NOT
+                    # jnp.all(jnp.isfinite(...)): a bool reduction inside
+                    # a while_loop is the one step-body ingredient never
+                    # covered by a passing probe, and the prox documents
+                    # the same construct as uncompilable on this backend
+                    # (ops/prox.py solve_dir)
+                    finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
+                    dx = jnp.where(finite > 0.5, dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
                     return it + 1, xv, gnorm, gnorm
 
@@ -392,7 +399,14 @@ class BackwardEulerIntegrator:
                             mv, -Fv, tol=krylov_tol,
                             maxiter=krylov_maxiter, unroll=True,
                         )
-                    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -Fv)
+                    # finiteness test as a dtype-typed min, NOT
+                    # jnp.all(jnp.isfinite(...)): a bool reduction inside
+                    # a while_loop is the one step-body ingredient never
+                    # covered by a passing probe, and the prox documents
+                    # the same construct as uncompilable on this backend
+                    # (ops/prox.py solve_dir)
+                    finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
+                    dx = jnp.where(finite > 0.5, dx, -Fv)
                     xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
                     return it + 1, xv, gnorm, gnorm
 

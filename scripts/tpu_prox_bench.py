@@ -72,3 +72,61 @@ print(
     flush=True,
 )
 print(f"PROX_BENCH_RESULT {'OK' if ok else 'NONFINITE'}", flush=True)
+
+
+# --- round 4: the component-form Pallas kernel A/B ---------------------
+# (ops/prox_pallas2d.py — one (8,128) vreg per tensor entry, no shape
+# casts; the fix the round-3 post-mortem identified. VERDICT r3 item 5's
+# "done" bar: a measured win OR a recorded on-chip measurement.)
+if (
+    mesh.dim == 2 and not mesh.comp_mesh
+    and mesh.grid.cell_table is not None
+    and not mesh.grid.constant
+    and mesh.grid.cell_table.shape[-1] == 16
+):
+    from mmadmm_tpu.ops.prox_pallas2d import make_prox_pallas2d
+
+    pf = jax.jit(
+        make_prox_pallas2d(mesh.ehat, mesh.w), static_argnums=(5, 6)
+    )
+    t0 = time.perf_counter()
+    out_p = pf(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
+    _sync(out_p)
+    compile_p = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out_p = pf(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, tol, iters)
+    _sync(out_p)
+    steady_p = (time.perf_counter() - t0) / n * 1e3
+    zp, ih0p = out_p
+    okp = bool(jnp.all(jnp.isfinite(zp))) and bool(jnp.isfinite(ih0p).all())
+
+    # quality: both backends minimize the same strongly-convex
+    # subproblems — compare the optimized REGULARIZED energies
+    def reg_energy(zz):
+        e = mesh._energy_e(zz, mesh.xi, mesh.grid)
+        return jnp.sum(
+            e.astype(jnp.float64)
+            + 0.5 * mesh.w**2
+            * jnp.sum((dxpu - zz) ** 2, axis=(1, 2)).astype(jnp.float64)
+        )
+
+    e_v = float(reg_energy(z_out))
+    e_p = float(reg_energy(zp))
+    dih = float(jnp.max(jnp.abs(ih0p - ih0)))
+    print(
+        f"pallas   compile+first={compile_p:7.2f}s "
+        f"steady={steady_p:8.2f} ms  ih0_sum={float(jnp.sum(ih0p)):.8f}",
+        flush=True,
+    )
+    print(
+        f"quality: reg-energy vmap={e_v:.9f} pallas={e_p:.9f} "
+        f"(pallas-vmap={e_p - e_v:+.3e}); max|ih0 diff|={dih:.3e}",
+        flush=True,
+    )
+    print(
+        f"PROX_AB_RESULT {'OK' if okp else 'NONFINITE'} "
+        f"vmap_ms={steady_ms:.2f} pallas_ms={steady_p:.2f} "
+        f"speedup={steady_ms / steady_p:.2f}x",
+        flush=True,
+    )

@@ -224,3 +224,26 @@ def test_admm_f32_reaches_ref_quality_monitor1320():
         f"never reached {target}: last Ih {tr[~np.isnan(tr)][-1]:.6f}"
     )
     assert tr[steps - 1] <= target
+
+
+@pytest.mark.slow
+def test_admm_f32_comp_mesh_3dmonitor320_converges():
+    """CompMesh-family convergence pin at the 40k-tet scale (VERDICT r3
+    item 4). 3DMonitor320 (CompMesh: true, xi-mesh Ehat,
+    AdaptationFunctional.cpp:176-201) ships NO energy trace
+    (Results/3DMonitor320/ holds only plots; ref ADMM wall 32.39 s from
+    Data/3DMonitor3/Single3DMonitor320.json), so the pin is the round-4
+    measured attractor: the full-nSteps f32 run (the reference's 3D runs
+    don't DtTol-stop) must descend from 0.965358 to <= 0.9320 (measured
+    0.931529)."""
+    cfg = load_experiment_config(f"{REF}/InputFiles/3DMonitor320.json")
+    cfg.dtype = "float32"
+    _, integ = build_problem(cfg)
+    state, trace, steps = integ.run_device(
+        state=integ.init_state(), cap=cfg.n_steps, dt_tol=cfg.dt_tol
+    )
+    steps = int(steps)
+    tr = np.asarray(trace)[:steps]
+    np.testing.assert_allclose(tr[0], 0.96535841, rtol=1e-5)
+    assert tr[-1] <= 0.9320
+    assert np.all(np.diff(tr) < 0)  # monotone descent on this config
