@@ -174,3 +174,30 @@ def plot_scaling(scaling: dict, out_path: str, title: str | None = None):
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def plot_boundary_points(X, mask, out_path: str, title: str | None = None):
+    """Scatter of boundary nodes (plot.py mode 3 — the reference reads a
+    ``boundaryPnts.txt`` dump; here the nodes come straight from the mask).
+    2D scatter or 3D axes by dimension."""
+    import numpy as np
+
+    from ..geometry.node_type import NodeType
+
+    plt = _plt()
+    X = np.asarray(X)
+    mask = np.asarray(mask)
+    b = X[mask != NodeType.INTERIOR]
+    fig = plt.figure()
+    if X.shape[1] == 3:
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(b[:, 0], b[:, 1], b[:, 2], s=2)
+    else:
+        ax = fig.add_subplot()
+        ax.scatter(b[:, 0], b[:, 1], s=2)
+        ax.set_aspect("equal")
+    if title:
+        ax.set_title(title)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

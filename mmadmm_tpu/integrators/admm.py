@@ -739,6 +739,29 @@ class ADMMIntegrator:
         """solver.getEnergy() (MeshIntegrator.cpp:79-81)."""
         return float(self.mesh.energy(state.x))
 
+    def output_x(self, state: ADMMState, fname: str) -> str:
+        """Debug dump of the node-position vector, one comma-separated
+        point per line (``MeshIntegrator::outputX``,
+        MeshIntegrator.cpp:219-232)."""
+        import numpy as np
+
+        np.savetxt(fname, np.asarray(state.x), delimiter=", ", fmt="%.17g")
+        return fname
+
+    def output_z(self, state: ADMMState, fname: str) -> str:
+        """Debug dump of the element-stacked vertex vector z = D x, one
+        comma-separated row per element-vertex slot
+        (``MeshIntegrator::outputZ``, MeshIntegrator.cpp:234-246; rows =
+        NF*(D+1) like the reference's z->rows()/D)."""
+        import numpy as np
+
+        z = np.asarray(self.mesh.gather(state.x))
+        np.savetxt(
+            fname, z.reshape(-1, self.mesh.dim), delimiter=", ",
+            fmt="%.17g",
+        )
+        return fname
+
     def run(
         self,
         n_steps: int,

@@ -213,16 +213,22 @@ class BackwardEulerIntegrator:
                 # scripts/be_precond_bench.py)
                 dj = jac_diag(xv) if precondition else None
 
+                # TEST-THEN-STEP carry, matching the reference's loop
+                # (Mesh.cpp:1287-1299: ||F|| tested BEFORE each solve):
+                # the residual and its norm ride the carry, the body
+                # steps unconditionally and evaluates the NEXT residual.
+                # Identical iterates to a masked-update formulation, but
+                # the simpler body is what the backend accepts at scale
+                # (probe4: R1/R2-shaped bodies pass, the masked-update
+                # step program faults).
                 def cond(carry):
-                    it, _, gnorm, _ = carry
+                    it, _, _, gnorm = carry
                     return jnp.logical_and(
                         it < self.max_newton, gnorm >= safety * self.tol
                     )
 
                 def body(carry):
-                    it, xv, _, _ = carry
-                    Fv = residual(xv, xn)
-                    gnorm = block_sum_f64(jnp.abs(Fv))
+                    it, xv, Fv, gnorm = carry
 
                     M = (lambda v: v / dj) if precondition else None
                     if krylov_solver == "neumann":
@@ -238,9 +244,9 @@ class BackwardEulerIntegrator:
                         dx = b / dvec
                         for _ in range(krylov_maxiter):
                             dx = dx + (b - mv(dx)) / dvec
-                        # safeguard OUTSIDE the polynomial: a diverged
-                        # solve (locally stiff He) falls back to the
-                        # plain Jacobi step
+                        # safeguard OUTSIDE the polynomial (probe R1's
+                        # passing shape): a diverged solve (locally stiff
+                        # He) falls back to the plain Jacobi step
                         rnorm = block_sum_f64(jnp.abs(b - mv(dx)))
                         bnorm = block_sum_f64(jnp.abs(b))
                         dx = jnp.where(rnorm <= bnorm, dx, b / dvec)
@@ -271,20 +277,20 @@ class BackwardEulerIntegrator:
                                 maxiter=krylov_maxiter, M=M,
                             )
                     # finiteness test as a dtype-typed min, NOT
-                    # jnp.all(jnp.isfinite(...)): a bool reduction inside
-                    # a while_loop is the one step-body ingredient never
-                    # covered by a passing probe, and the prox documents
-                    # the same construct as uncompilable on this backend
-                    # (ops/prox.py solve_dir)
+                    # jnp.all(jnp.isfinite(...)) — a bool reduction
+                    # inside a while_loop is the construct ops/prox.py
+                    # documents as uncompilable on this backend
                     finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
                     dx = jnp.where(finite > 0.5, dx, -Fv)
-                    xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
-                    return it + 1, xv, gnorm, gnorm
+                    xv = xv + dx
+                    Fv = residual(xv, xn)
+                    gnorm = block_sum_f64(jnp.abs(Fv))
+                    return it + 1, xv, Fv, gnorm
 
                 F0 = residual(xv, xn)
                 g0 = block_sum_f64(jnp.abs(F0))
                 it, xv, _, _ = jax.lax.while_loop(
-                    cond, body, (jnp.zeros((), jnp.int32), xv, g0, jnp.inf)
+                    cond, body, (jnp.zeros((), jnp.int32), xv, F0, g0)
                 )
                 return xv, it
 
@@ -366,15 +372,14 @@ class BackwardEulerIntegrator:
                     return mv
 
                 def cond(carry):
-                    it, _, gnorm, _ = carry
+                    it, _, _, gnorm = carry
                     return jnp.logical_and(
                         it < self.max_newton, gnorm >= safety * self.tol
                     )
 
                 def body(carry):
-                    it, xv, _, _ = carry
-                    Fv = residual(xv, xn)
-                    gnorm = block_sum_f64(jnp.abs(Fv))
+                    # test-then-step carry, like the single-device path
+                    it, xv, Fv, gnorm = carry
                     He = elem_hess_l(xv)
                     mv = matvec_from(He)
                     if krylov_solver == "neumann":
@@ -407,15 +412,17 @@ class BackwardEulerIntegrator:
                     # (ops/prox.py solve_dir)
                     finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
                     dx = jnp.where(finite > 0.5, dx, -Fv)
-                    xv = jnp.where(gnorm >= safety * self.tol, xv + dx, xv)
-                    return it + 1, xv, gnorm, gnorm
+                    xv = xv + dx
+                    Fv = residual(xv, xn)
+                    gnorm = block_sum_f64(jnp.abs(Fv))
+                    return it + 1, xv, Fv, gnorm
 
                 xn = x
                 x = x - dt_tau * grad_i(x)
                 F0 = residual(x, xn)
                 g0 = block_sum_f64(jnp.abs(F0))
                 n_newton, x, _, _ = jax.lax.while_loop(
-                    cond, body, (jnp.zeros((), jnp.int32), x, g0, jnp.inf)
+                    cond, body, (jnp.zeros((), jnp.int32), x, F0, g0)
                 )
                 ih, _ = grad_at(x, F_l, xi_l, valid_l, dense_l, grid,
                                 interior)
