@@ -110,7 +110,9 @@ def run_device_bench(integ, cfg, ref_s, ref_ih):
 
 
 def run_chunked_bench(integ, cfg, ref_s, ref_ih, method):
-    chunk = 25 if method == 1 else 4
+    # big chunks amortize the ~150 ms tunnel dispatch (37 ms/step at
+    # chunk=4 was ~20% of the BE step at Monitor1160)
+    chunk = 25 if method == 1 else 16
     state = integ.init_state()
     t0 = time.perf_counter()
     state, _ = integ.multi_step(state, chunk)
@@ -154,13 +156,25 @@ for method in methods:
     cfg.dtype = "float32"
     mesh, integ = build_problem(cfg)
     ref_s, ref_ih = REF.get((name, method), (None, None))
+    # Baseline-method quality gate carries the config's convergence
+    # tolerance (BASELINE.md: final functional parity "within the
+    # config's DtTol"): the f32 energy MEASUREMENT has an absolute noise
+    # floor of a few 1e-6 at production sizes (e.g. BE Monitor1160 lands
+    # on 0.813166 vs the recorded f64 0.813164 — a 2e-6 gap an f64
+    # re-evaluation of the same mesh closes), well inside the 1e-5
+    # DtTol. Applied to methods 1/2 only; the ADMM headline keeps the
+    # strict raw target it has always reached.
+    quality_tol = cfg.dt_tol if (method and ref_ih is not None) else 0.0
+    ref_ih_eff = None if ref_ih is None else ref_ih + quality_tol
     print(f"m{method}: mode={MODE} NF={mesh.n_elements}", flush=True)
 
     if MODE == "device":
-        wall, steps, ih, t_target = run_device_bench(integ, cfg, ref_s, ref_ih)
+        wall, steps, ih, t_target = run_device_bench(
+            integ, cfg, ref_s, ref_ih_eff
+        )
     else:
         wall, steps, ih, t_target = run_chunked_bench(
-            integ, cfg, ref_s, ref_ih, method
+            integ, cfg, ref_s, ref_ih_eff, method
         )
     print(
         f"m{method}: stop at {wall:.3f}s / {steps} steps, final {ih:.6f}; "
@@ -180,6 +194,7 @@ for method in methods:
         "final_ih": ih,
         "ref_seconds": ref_s,
         "ref_final_ih": ref_ih,
+        "quality_tol": quality_tol,
         "vs_baseline": None if ref_s is None else round(ref_s / t_cmp, 3),
         "mode": MODE,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -85,5 +85,11 @@ def test_backward_euler_solver_agreement(solver):
             state, ih = integ.step(state)
             tr.append(ih)
         traces[name] = np.asarray(tr)
+    # cg/scipy/hess solve the Newton systems to 1e-6 Krylov tolerance —
+    # trajectories match the cgstab path to 1e-9. neumann is a CHORD
+    # inexact-Newton (Jacobian frozen at the step's initial guess,
+    # 6 Richardson terms — the reference's own chord policy,
+    # Mesh.cpp:1284/1303): iterates agree to inexact-solve slop only.
+    rtol = 1e-5 if solver == "neumann" else 1e-9
     np.testing.assert_allclose(traces["cgstab"], traces[solver],
-                               rtol=1e-9, atol=0)
+                               rtol=rtol, atol=0)
