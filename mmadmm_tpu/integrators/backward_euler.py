@@ -9,23 +9,30 @@ TPU-native redesign is matrix-free:
 
   F(x) = (dt/tau) grad I(x) + (x - x^n)        (Mesh.cpp:1289-1293)
 
-Newton with *exact* Jacobian-vector products, inner solves with the
-hand-rolled BiCGStab from ``ops.krylov`` (the reference's
-``scaler_cgstab``, accel_class.cpp:280).
+Newton with *exact* Jacobian-vector products through EXPLICIT per-element
+Hessians ``He [NF, n, n]`` of the Huang energy (jacfwd of the analytic
+gradient, frozen interpolation cells — the ADMM prox's proven structure):
+``J v = v + dt/tau * interior_mask * scatter(He @ gather(v))``, a pure
+gather/VPU-multiply/scatter pipeline.
 
-The default Jvp is EXPLICIT: per-element Hessians ``He [NF, n, n]`` of
-the Huang energy (``jax.hessian`` with frozen interpolation cells, the
-same jacfwd-in-while structure the ADMM prox runs at 4x this size), and
-``J v = v + dt/tau * interior_mask * scatter(He @ gather(v))`` — a pure
-gather/VPU-matmul/scatter pipeline, with the BiCGStab iterations emitted
-UNROLLED (straight-line, maxiter<=8). This shape is forced by a TPU
-backend fault bisected in ``scripts/tpu_be_probe.py``: at >=77k 2D
-elements, a ``lax.while_loop`` wrapping either jax.scipy's nested-while
-bicgstab OR a fori-loop ``jax.jvp`` matvec kills the worker ("kernel
-fault"), while each single Newton iteration passes — so the while body
-must contain no fori/while and no jvp. ``MMADMM_BE_KRYLOV`` selects
-``hess`` (default) | ``cgstab`` (fori + jax.jvp matvec) | ``cg`` |
-``scipy`` for A/B. An optional diagonal (Jacobi)
+Default inner solve: ``neumann`` — CHORD Jacobi-preconditioned
+Richardson (``He``/``D = 1 + dt/tau diag(H)`` built once per step at the
+initial guess, the reference's own chord policy, Mesh.cpp:1284;
+``dx_{k+1} = dx_k + D^{-1}(b - J dx_k)``, 6 fixed terms, one
+residual-norm safeguard). This dot-free shape is what the TPU backend
+executes reliably inside the Newton ``lax.while_loop`` at production
+sizes — the round-3 "kernel fault at >=77k elements" was bisected
+(scripts/tpu_be_probe{,3,4}.py) to (a) Krylov dot-recurrences over real
+matvecs inside a while_loop, and (b) the f32 L1 noise floor making the
+reference's absolute Newton test unreachable, so the loop ran to its
+1000-iteration cap and the minutes-long dispatch was killed by the
+tunnel. Fixes: the dot-free solve, a stall-progress stop (exit when
+``||F||`` stops decreasing — the f32-representable optimum), and
+test-then-step carry. Measured: Monitor1160 m2 68.1 s to reference
+quality vs the reference's 75.96 s. ``MMADMM_BE_KRYLOV`` selects
+``neumann`` (default) | ``hess`` (unrolled ops.krylov BiCGStab on the
+explicit matvec — the exact-solve CPU oracle) | ``cgstab`` | ``cg``
+(fori + jax.jvp matvec) | ``scipy`` for A/B. An optional diagonal (Jacobi)
 chord preconditioner ``M v = v / (1 + dt/tau * diag(Hess I))`` is
 available (``precondition=True``; exact Hessian diagonal assembled from
 per-element ``jax.hessian`` diagonals once per step) but is OFF by
