@@ -134,7 +134,7 @@ def run_config_device(name: str):
     target = REF_FINAL_IH.get(name)
     t_target = None
     if target is not None:
-        above = np.nonzero(tr[:steps] > target)[0]
+        above = np.nonzero(~(tr[:steps] <= target))[0]  # NaN -> above
         k = (int(above[-1]) + 1) if above.size else 0
         if k < steps:  # quality reached and held to the stop
             t0 = time.perf_counter()
@@ -216,7 +216,16 @@ def main() -> None:
 
     import jax  # noqa: F401  (device init before timing anything)
 
-    loop_mode = os.environ.get("MMADMM_BENCH_LOOP", "device")
+    # Whole-run device loop only for configs whose run fits in ONE short
+    # dispatch: this tunnel kills device dispatches that run for minutes
+    # (measured: a 47 s dispatch survived, heavier ones reproducibly die
+    # with "TPU device error" — the BE fault post-mortem,
+    # integrators/backward_euler.py docstring). Large configs keep the
+    # chunked host loop (~1 s dispatches).
+    small = REF_SECONDS.get(name, 1e9) <= 35.0
+    loop_mode = os.environ.get(
+        "MMADMM_BENCH_LOOP", "device" if small else "chunked"
+    )
     tiered_down = False
     try:
         if loop_mode == "device":

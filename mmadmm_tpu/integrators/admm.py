@@ -692,6 +692,7 @@ class ADMMIntegrator:
         dt_tol: float,
         target_ih: float | None = None,
         min_steps: int = 0,
+        stop_on_rise: bool = False,
     ):
         """The WHOLE outer time loop as one device program
         (``integrators.device_loop``): steps until the reference's
@@ -733,6 +734,7 @@ class ADMMIntegrator:
             jnp.asarray(target_ih if use else 0.0, jnp.float64),
             jnp.asarray(use),
             jnp.asarray(min_steps, jnp.int32),
+            jnp.asarray(bool(stop_on_rise)),
         )
 
     def energy(self, state: ADMMState) -> float:

@@ -520,7 +520,7 @@ class BackwardEulerIntegrator:
         return BackwardEulerState(x=x0)
 
     def run_device(self, state, *, cap, dt_tol, target_ih=None,
-                   min_steps=0):
+                   min_steps=0, stop_on_rise=False):
         """Whole-run device loop (see ``ADMMIntegrator.run_device``).
         Returns (state', ih_trace[cap] f64, steps i32)."""
         cap = int(cap)
@@ -542,6 +542,7 @@ class BackwardEulerIntegrator:
             jnp.asarray(target_ih if use else 0.0, jnp.float64),
             jnp.asarray(use),
             jnp.asarray(min_steps, jnp.int32),
+            jnp.asarray(bool(stop_on_rise)),
         )
 
     def step(self, state: BackwardEulerState):

@@ -46,7 +46,8 @@ def build_run_loop(step_fn, dt: float, cap: int):
     cap = int(cap)
     dt = float(dt)
 
-    def run(state, consts, dt_tol, target_ih, use_target, min_steps):
+    def run(state, consts, dt_tol, target_ih, use_target, min_steps,
+            stop_on_rise):
         trace0 = jnp.full((cap,), jnp.nan, dtype=jnp.float64)
 
         def cond(carry):
@@ -65,9 +66,24 @@ def build_run_loop(step_fn, dt: float, cap: int):
                 jnp.logical_and(use_target, k + 1 >= min_steps),
                 ih <= target_ih,
             )
-            return state, ih, k + 1, trace, jnp.logical_or(
-                stop_dttol, stop_target
+            # stop-on-rise: the rule the reference's RECORDED artifacts
+            # evidently used for some runs — `|| dIdt > 0` survives as a
+            # commented-out clause of the shipped stop (main.cpp:204),
+            # and e.g. Results/Monitor2320/Ih1.txt ends on an energy
+            # RISE after 7 steps, which the shipped |dIh/dt| rule cannot
+            # produce. Opt-in, for artifact-faithful comparisons.
+            stop_rise = jnp.logical_and(
+                jnp.logical_and(stop_on_rise, k > 0), ih > ih_prev
             )
+            # divergence stop: a non-finite energy ends the run (the
+            # harness NaN watchdog's in-graph analogue; the reference
+            # aborts on its Edet assert instead)
+            stop_nan = ~jnp.isfinite(ih)
+            done = jnp.logical_or(
+                jnp.logical_or(stop_dttol, stop_target),
+                jnp.logical_or(stop_rise, stop_nan),
+            )
+            return state, ih, k + 1, trace, done
 
         init = (
             state,

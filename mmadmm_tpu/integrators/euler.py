@@ -138,7 +138,7 @@ class EulerIntegrator:
         return EulerState(x=x0)
 
     def run_device(self, state, *, cap, dt_tol, target_ih=None,
-                   min_steps=0):
+                   min_steps=0, stop_on_rise=False):
         """Whole-run device loop (see ``ADMMIntegrator.run_device``).
         Returns (state', ih_trace[cap] f64, steps i32)."""
         cap = int(cap)
@@ -160,6 +160,7 @@ class EulerIntegrator:
             jnp.asarray(target_ih if use else 0.0, jnp.float64),
             jnp.asarray(use),
             jnp.asarray(min_steps, jnp.int32),
+            jnp.asarray(bool(stop_on_rise)),
         )
 
     def step(self, state: EulerState):

@@ -50,6 +50,15 @@ REF = {
     ("3DMonitor320", 0): (32.392, None),
 }
 
+# runs compared under the STOP-ON-RISE rule: the recorded artifact ends
+# on an energy rise, which only the commented-out `|| dIdt > 0` clause of
+# the reference's stop (main.cpp:204) can produce — so the recorded trace
+# was made with that rule, and the honest comparison replicates it.
+# (Monitor2320 Euler: 7 steps, last row RISES 2.62323 -> 2.62331; our
+# Euler run without this stop descends past it and eventually diverges,
+# i.e. the method is unstable at dt=0.055 for both implementations.)
+RISE_STOP = {("Monitor2320", 1)}
+
 name = sys.argv[1] if len(sys.argv) > 1 else "Monitor1320"
 methods = [int(m) for m in sys.argv[2:]] or [1, 2]
 MODE = os.environ.get("MMADMM_BENCH_MODE", "device")
@@ -69,16 +78,18 @@ def last_downward_crossing(trace, steps, target):
     if target is None:
         return None
     ih = np.asarray(trace)[:steps]
-    above = np.nonzero(ih > target)[0]
+    # non-finite values count as ABOVE target (a diverged tail must not
+    # register as "reached quality")
+    above = np.nonzero(~(ih <= target))[0]
     k = (above[-1] + 1) if above.size else 0
     return int(k) if k < steps else None
 
 
-def run_device_bench(integ, cfg, ref_s, ref_ih):
+def run_device_bench(integ, cfg, ref_s, ref_ih, rise=False):
     cap = cfg.n_steps
     t0 = time.perf_counter()
     s, trace, steps = integ.run_device(
-        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol
+        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol, stop_on_rise=rise
     )
     jax.block_until_ready(s.x)
     print(f"  compile+first run {time.perf_counter() - t0:.1f}s "
@@ -86,7 +97,7 @@ def run_device_bench(integ, cfg, ref_s, ref_ih):
 
     t0 = time.perf_counter()
     s, trace, steps = integ.run_device(
-        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol
+        integ.init_state(), cap=cap, dt_tol=cfg.dt_tol, stop_on_rise=rise
     )
     jax.block_until_ready(s.x)
     wall = time.perf_counter() - t0
@@ -100,7 +111,7 @@ def run_device_bench(integ, cfg, ref_s, ref_ih):
         t0 = time.perf_counter()
         s2, _, st2 = integ.run_device(
             integ.init_state(), cap=cap, dt_tol=cfg.dt_tol,
-            target_ih=ref_ih, min_steps=k + 1,
+            target_ih=ref_ih, min_steps=k + 1, stop_on_rise=rise,
         )
         jax.block_until_ready(s2.x)
         t_target = time.perf_counter() - t0
@@ -132,11 +143,14 @@ def run_chunked_bench(integ, cfg, ref_s, ref_ih, method):
         for ih in [float(v) for v in ihs]:
             steps += 1
             if ref_ih is not None:
-                if ih <= ref_ih:
+                if ih <= ref_ih:  # NaN compares False -> resets below
                     if t_target is None:
                         t_target = now
                 else:
                     t_target = None
+            if not np.isfinite(ih):
+                done = True
+                break
             if (ih_prev is not None
                     and abs((ih - ih_prev) / cfg.dt) < cfg.dt_tol):
                 done = True
@@ -168,9 +182,10 @@ for method in methods:
     ref_ih_eff = None if ref_ih is None else ref_ih + quality_tol
     print(f"m{method}: mode={MODE} NF={mesh.n_elements}", flush=True)
 
+    rise = (name, method) in RISE_STOP
     if MODE == "device":
         wall, steps, ih, t_target = run_device_bench(
-            integ, cfg, ref_s, ref_ih_eff
+            integ, cfg, ref_s, ref_ih_eff, rise=rise
         )
     else:
         wall, steps, ih, t_target = run_chunked_bench(
