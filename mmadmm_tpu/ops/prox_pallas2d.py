@@ -325,7 +325,10 @@ def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
             _edet_c(zt) > det_floor,
         )
 
-    def one_iter(it, zc, active):
+    def one_iter(not_first, zc, active):
+        """``not_first``: bool scalar — True from the second sweep on
+        (kernel derives it from an f32 carry; int comparisons and
+        bool->float casts trip a Mosaic convert-lowering recursion)."""
         p, gnorm, e0 = solve_dir(zc, active)
         det0 = _edet_c(zc)
         det_floor = jnp.minimum(det0, jnp.zeros_like(det0))
@@ -345,7 +348,7 @@ def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
         stalled = step_inf <= eps * (1.0 + zmax)
         # retire rules (ops.prox.body): gnorm < tol only after the first
         # sweep; stall retire after the move
-        retire = jnp.logical_and(gnorm < tol, it > 0)
+        retire = jnp.logical_and(gnorm < tol, not_first)
         active_now = jnp.logical_and(active, ~retire)
         z_new = [
             jnp.where(active_now, zc[i] + alpha * p[i], zc[i])
@@ -372,10 +375,19 @@ def make_prox_pallas2d(ehat_const, w: float, *, interpret: bool = False):
     kernel rebuilds its Jacobian in VMEM each iteration, so pair this
     backend with ``j_carry=False``.
     """
+    import sys
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .monitor_grid import _cell_index
+
+    # the traced kernel graph is deep (6 jvp passes of the hand-written
+    # gradient x unrolled LDLT x 5 backtracking trials per Newton sweep);
+    # Mosaic lowering walks it recursively and trips CPython's default
+    # 1000-frame limit
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
 
     eh = np.asarray(ehat_const, dtype=np.float64).reshape(-1)
     ehat = (float(eh[0]), float(eh[1]), float(eh[2]), float(eh[3]))
@@ -401,21 +413,31 @@ def make_prox_pallas2d(ehat_const, w: float, *, interpret: bool = False):
                 zscr[c] = z[c]
             ascr[:] = jnp.ones_like(z[0])
 
-            def body(it, _):
+            ones_t = jnp.ones_like(z[0])
+            zeros_t = jnp.zeros_like(z[0])
+
+            def body(_it, not_first_f):
                 # tile-level early exit: once every element in this
                 # (8,128) tile retired, the guard skips the whole sweep
                 @pl.when(jnp.max(ascr[:]) > 0.5)
                 def _():
                     zc = [zscr[c] for c in range(6)]
                     active = ascr[:] > 0.5
-                    z_new, a_new = one_iter(it, zc, active)
+                    z_new, a_new = one_iter(
+                        not_first_f > 0.5, zc, active
+                    )
                     for c in range(6):
                         zscr[c] = z_new[c]
-                    ascr[:] = a_new.astype(z[0].dtype)
+                    # select, not astype: bool->float converts trip a
+                    # Mosaic lowering recursion
+                    ascr[:] = jnp.where(a_new, ones_t, zeros_t)
 
-                return 0
+                # f32 "past the first sweep" carry (no int arithmetic)
+                return jnp.ones((), z[0].dtype)
 
-            jax.lax.fori_loop(0, max_iters, body, 0)
+            jax.lax.fori_loop(
+                0, max_iters, body, jnp.zeros((), z[0].dtype)
+            )
             for c in range(6):
                 zout_ref[c, 0] = zscr[c]
 
