@@ -448,16 +448,19 @@ def make_prox_pallas2d(ehat_const, w: float, *, interpret: bool = False):
     def _get_call(tol, max_iters, T, dtype):
         key = (float(tol), int(max_iters), int(T), jnp.dtype(dtype).name)
         if key not in call_cache:
+            # index maps: zeros derived from i (i*0) so every returned
+            # index is i32 — bare literal 0s are weak-i64 under x64 and
+            # Mosaic cannot legalize the resulting mixed func.return
             spec6 = pl.BlockSpec(
-                (6, 1, 8, 128), lambda i: (0, i, 0, 0),
+                (6, 1, 8, 128), lambda i: (i * 0, i, i * 0, i * 0),
                 memory_space=pltpu.VMEM,
             )
             spec48 = pl.BlockSpec(
-                (48, 1, 8, 128), lambda i: (0, i, 0, 0),
+                (48, 1, 8, 128), lambda i: (i * 0, i, i * 0, i * 0),
                 memory_space=pltpu.VMEM,
             )
             spec1 = pl.BlockSpec(
-                (1, 8, 128), lambda i: (i, 0, 0),
+                (1, 8, 128), lambda i: (i, i * 0, i * 0),
                 memory_space=pltpu.VMEM,
             )
             call_cache[key] = pl.pallas_call(

@@ -46,6 +46,13 @@ REF = {
     ("3DMonitor110", 2): (4.871, 1.55909),
     # CompMesh family (xi-mesh Ehat): Results/3DMonitor310/Ih0.txt
     ("3DMonitor310", 0): (4.04989, 0.868609),
+    # small-config ADMM rows (Results/<cfg>/Ih0.txt last rows; Monitor120's
+    # recorded trace is the unguarded 1000-step run — BASELINE.md)
+    ("Monitor120", 0): (3.82, 0.828926),
+    ("Monitor180", 0): (1.14, 0.813195),
+    ("Monitor220", 0): (0.133, 2.59474),
+    ("Monitor320", 0): (0.145, 0.118747),
+    ("3DMonitor210", 0): (7.54, 10.0217),
     # 3DMonitor320 ships no trace; Data/3DMonitor3/Single3DMonitor320.json
     ("3DMonitor320", 0): (32.392, None),
 }
