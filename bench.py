@@ -98,8 +98,19 @@ def _build(name: str):
         ))
     cfg = load_experiment_config(cfg_path)
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64-accurate
-    log(f"{name}: building problem")
-    mesh, integ = build_problem(cfg)
+    # component-form Pallas prox for eligible 2D configs (measured 4.5x
+    # on the prox call, 16.7 -> 9.9 s headline time-to-quality at
+    # Monitor1320; identical 329-step trajectory). MMADMM_PROX=vmap
+    # overrides; ineligible configs (3D, comp-mesh, asymmetric monitor)
+    # fall back automatically.
+    if cfg.dim == 2 and os.environ.get("MMADMM_PROX") is None:
+        cfg.prox_backend = "pallas"
+    log(f"{name}: building problem (prox={cfg.prox_backend})")
+    try:
+        mesh, integ = build_problem(cfg)
+    except ValueError:
+        cfg.prox_backend = "auto"
+        mesh, integ = build_problem(cfg)
     return cfg, mesh, integ
 
 

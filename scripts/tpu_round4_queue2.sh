@@ -17,3 +17,12 @@ run a220   python -u scripts/tpu_methods_bench.py Monitor220 0
 run a320   python -u scripts/tpu_methods_bench.py Monitor320 0
 run a3d210 python -u scripts/tpu_methods_bench.py 3DMonitor210 0
 echo "=== queue2 done ($(date -u +%H:%M:%SZ))"
+
+# 2D ADMM reruns with the Pallas prox backend (bench.py now defaults to
+# it for 2D configs)
+run p2320 python -u bench.py Monitor2320
+run p3320 python -u bench.py Monitor3320r
+run p1160 python -u bench.py Monitor1160
+run p2160 python -u bench.py Monitor2160
+run p3160 python -u bench.py Monitor3160
+echo "=== queue2b done ($(date -u +%H:%M:%SZ))"
