@@ -56,6 +56,10 @@ REF_SECONDS = {
     "3DMonitor210": 7.54,
     "3DMonitor220": 42.38,
     "3DMonitor240": 350.9,  # Data/3DMonitor2/Single3DMonitor240.json
+    # the 6.1M-tet tier (nx=80), single-thread reference times from
+    # Data/3DMonitor{1,2}/Single3DMonitor{1,2}80.json (no recorded traces)
+    "3DMonitor180": 25290.0,
+    "3DMonitor280": 2865.0,
 }
 # the functional value the reference's DtTol stop landed on (same
 # Ih0.txt last row). Our Newton-based prox keeps finding genuine descent

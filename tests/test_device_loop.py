@@ -83,3 +83,29 @@ def test_run_device_sharded_matches_single():
     np.testing.assert_allclose(
         np.asarray(tr1), np.asarray(tr4), rtol=1e-9
     )
+
+
+def test_run_device_stop_on_rise():
+    """The rise stop (the recorded-artifact rule — the commented-out
+    `|| dIdt > 0` clause, main.cpp:204) ends the run at the first energy
+    increase; without it the same run continues."""
+    # explicit Euler at dt/tau = 0.8: overshoots, energy rises at step ~8
+    cfg = ExperimentConfig(
+        test_type="SquareGrid", dim=2, mon_type=1, method=1,
+        nx=8, ny=8, dt=0.08, tau=0.1, rho=50.0,
+    )
+    _, integ = build_problem(cfg)
+    s = integ.init_state()
+    _, trace, steps = integ.run_device(s, cap=40, dt_tol=0.0)
+    tr = np.asarray(trace)[: int(steps)]
+    rises = np.nonzero(np.diff(tr) > 0)[0]
+    assert rises.size > 0
+    first_rise = int(rises[0]) + 2  # steps taken when the rise lands
+    s2 = integ.init_state()
+    _, tr2, st2 = integ.run_device(
+        s2, cap=40, dt_tol=0.0, stop_on_rise=True
+    )
+    assert int(st2) == first_rise
+    np.testing.assert_allclose(
+        np.asarray(tr2)[:first_rise], tr[:first_rise], rtol=1e-12
+    )
