@@ -131,16 +131,24 @@ class MovingMesh:
             # round-3 post-mortem identified after Mosaic rejected the
             # matrix-form kernel's leading-dim casts. Scope: the headline
             # 2D family (no comp mesh, symmetric 16-wide cell table).
-            ok = (
+            ok2d = (
                 self.dim == 2 and not self.comp_mesh
                 and self.grid.cell_table is not None
                 and not self.grid.constant
                 and self.grid.cell_table.shape[-1] == 16
             )
-            if not ok:
+            ok3d = (
+                self.dim == 3 and not self.comp_mesh
+                and (
+                    self.grid.constant
+                    or (self.grid.cell_table is not None
+                        and self.grid.cell_table.shape[-1] == 48)
+                )
+            )
+            if not (ok2d or ok3d):
                 raise ValueError(
-                    "prox_backend 'pallas' supports 2D non-comp-mesh "
-                    "symmetric-monitor problems only; use 'vmap'"
+                    "prox_backend 'pallas' supports non-comp-mesh "
+                    "symmetric/constant-monitor problems only; use 'vmap'"
                 )
         elif prox_backend != "vmap":
             raise ValueError(f"unknown prox_backend {prox_backend!r}")
@@ -154,12 +162,19 @@ class MovingMesh:
         elif self.dim == 3 and self.n_elements > 300_000:
             jac_batch = 131_072
         if prox_backend == "pallas":
-            from .ops.prox_pallas2d import make_prox_pallas2d
-
             interp = jax.default_backend() not in ("tpu", "axon")
-            self.prox_fn = make_prox_pallas2d(
-                self.ehat, self.w, interpret=interp
-            )
+            if self.dim == 2:
+                from .ops.prox_pallas2d import make_prox_pallas2d
+
+                self.prox_fn = make_prox_pallas2d(
+                    self.ehat, self.w, interpret=interp
+                )
+            else:
+                from .ops.prox_pallas3d import make_prox_pallas3d
+
+                self.prox_fn = make_prox_pallas3d(
+                    self.ehat, self.w, interpret=interp
+                )
         else:
             self.prox_fn = make_prox_solver(
                 self.ehat, self.comp_mesh, self.w, self.dim,

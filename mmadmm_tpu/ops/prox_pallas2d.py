@@ -257,9 +257,10 @@ def hess_c(z, cells, ehat, dxpu, w, free):
 
 
 def ldlt_c(H, b):
-    """Unrolled 6x6 LDL^T solve on component tiles (port of
-    ops.linalg.ldlt_solve with list-of-tiles storage)."""
-    n = 6
+    """Unrolled n x n LDL^T solve on component tiles (port of
+    ops.linalg.ldlt_solve with list-of-tiles storage; n = len(b) — 6 in
+    2D, 12 in 3D)."""
+    n = len(b)
     floor = jnp.asarray(_DIAG_FLOOR, b[0].dtype)
     L = [[None] * n for _ in range(n)]
     D = [None] * n
@@ -294,55 +295,53 @@ def _edet_c(z):
     return (z[2] - z[0]) * (z[5] - z[1]) - (z[4] - z[0]) * (z[3] - z[1])
 
 
-def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
-                    when=None):
-    """The full prox Newton solve on component tiles. Pure function of
-    tiles — runs identically inside the Pallas kernel and (for tests) on
-    plain arrays. Returns (z_opt list[6], ih0).
+def make_newton_sweeps(n, energy_full, grad_full, hess_full, edet_fn,
+                       w, tol):
+    """Dimension-generic prox Newton sweep on component tiles
+    (n = D(D+1): 6 in 2D, 12 in 3D). Pure tile functions:
+    ``energy_full(z) -> (ih_unreg, e_reg)``, ``grad_full(z) ->
+    (grads, ih, e_reg)``, ``hess_full(z) -> H`` (n x n list-of-lists),
+    ``edet_fn(z)`` element-orientation determinant. Returns
+    ``one_iter(not_first, zc, active)``."""
 
-    ``when``: optional callable wrapping per-iteration work in a
-    ``pl.when``-style guard (kernel passes pl.when for tile early-out).
-    """
-    ih0, _ = energy_c(z, cells, ehat)
-
-    def solve_dir(zc, active):
-        g, _, e0 = grad_c(zc, cells, ehat, dxpu, w, free)
-        gnorm = sum(jnp.abs(g[i]) for i in range(6))
-        H = hess_c(zc, cells, ehat, dxpu, w, free)
-        p = ldlt_c(H, [-g[i] for i in range(6)])
+    def solve_dir(zc):
+        g, _, e0 = grad_full(zc)
+        gnorm = sum(jnp.abs(g[i]) for i in range(n))
+        H = hess_full(zc)
+        p = ldlt_c(H, [-g[i] for i in range(n)])
         # finite fallback: damped gradient (ops.prox.solve_dir semantics)
         finite = functools.reduce(
-            jnp.logical_and, [jnp.isfinite(p[i]) for i in range(6)]
+            jnp.logical_and, [jnp.isfinite(p[i]) for i in range(n)]
         )
         inv_w2 = 1.0 / (w * w)
-        p = [jnp.where(finite, p[i], -g[i] * inv_w2) for i in range(6)]
+        p = [jnp.where(finite, p[i], -g[i] * inv_w2) for i in range(n)]
         return p, gnorm, e0
 
     def trial_ok(zt, e0, det_floor):
-        _, e_a = energy_c(zt, cells, ehat, dxpu, w)
+        _, e_a = energy_full(zt)
         return jnp.logical_and(
             jnp.logical_and(jnp.isfinite(e_a), e_a <= e0),
-            _edet_c(zt) > det_floor,
+            edet_fn(zt) > det_floor,
         )
 
     def one_iter(not_first, zc, active):
         """``not_first``: bool scalar — True from the second sweep on
         (kernel derives it from an f32 carry; int comparisons and
         bool->float casts trip a Mosaic convert-lowering recursion)."""
-        p, gnorm, e0 = solve_dir(zc, active)
-        det0 = _edet_c(zc)
+        p, gnorm, e0 = solve_dir(zc)
+        det0 = edet_fn(zc)
         det_floor = jnp.minimum(det0, jnp.zeros_like(det0))
         # backtracking: pick the largest accepted alpha (0 if none)
         alpha = jnp.zeros_like(zc[0])
         for a in _ALPHAS_BT:
-            zt = [zc[i] + a * p[i] for i in range(6)]
+            zt = [zc[i] + a * p[i] for i in range(n)]
             ok = trial_ok(zt, e0, det_floor)
             alpha = jnp.where(ok, jnp.asarray(a, zc[0].dtype), alpha)
         step_inf = alpha * functools.reduce(
-            jnp.maximum, [jnp.abs(p[i]) for i in range(6)]
+            jnp.maximum, [jnp.abs(p[i]) for i in range(n)]
         )
         zmax = functools.reduce(
-            jnp.maximum, [jnp.abs(zc[i]) for i in range(6)]
+            jnp.maximum, [jnp.abs(zc[i]) for i in range(n)]
         )
         eps = 10.0 * jnp.finfo(zc[0].dtype).eps
         stalled = step_inf <= eps * (1.0 + zmax)
@@ -352,11 +351,28 @@ def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
         active_now = jnp.logical_and(active, ~retire)
         z_new = [
             jnp.where(active_now, zc[i] + alpha * p[i], zc[i])
-            for i in range(6)
+            for i in range(n)
         ]
         active_next = jnp.logical_and(active_now, ~stalled)
         return z_new, active_next
 
+    return one_iter
+
+
+def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
+                    when=None):
+    """2D instantiation of :func:`make_newton_sweeps` (kept as the
+    kernel-facing API). Returns (ih0, one_iter)."""
+    del max_iters, when  # loop control lives in the kernel
+    ih0, _ = energy_c(z, cells, ehat)
+    one_iter = make_newton_sweeps(
+        6,
+        lambda zz: energy_c(zz, cells, ehat, dxpu, w),
+        lambda zz: grad_c(zz, cells, ehat, dxpu, w, free),
+        lambda zz: hess_c(zz, cells, ehat, dxpu, w, free),
+        _edet_c,
+        w, tol,
+    )
     return ih0, one_iter
 
 
