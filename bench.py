@@ -102,12 +102,12 @@ def _build(name: str):
         ))
     cfg = load_experiment_config(cfg_path)
     cfg.dtype = "float32"  # TPU fast path; reductions stay f64-accurate
-    # component-form Pallas prox for eligible 2D configs (measured 4.5x
-    # on the prox call, 16.7 -> 9.9 s headline time-to-quality at
-    # Monitor1320; identical 329-step trajectory). MMADMM_PROX=vmap
-    # overrides; ineligible configs (3D, comp-mesh, asymmetric monitor)
-    # fall back automatically.
-    if cfg.dim == 2 and os.environ.get("MMADMM_PROX") is None:
+    # component-form Pallas prox kernels (measured on-chip: 2D 12.5 ms
+    # vs 56.6 ms vmap at Monitor1320, 3D 10.1 ms vs 51.2 ms at
+    # 3DMonitor220; headline 16.7 -> 9.9 s). MMADMM_PROX=vmap overrides;
+    # ineligible configs (comp-mesh, asymmetric monitors) fall back via
+    # the ValueError below.
+    if os.environ.get("MMADMM_PROX") is None:
         cfg.prox_backend = "pallas"
     log(f"{name}: building problem (prox={cfg.prox_backend})")
     try:
