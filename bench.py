@@ -4,8 +4,10 @@ baseline config (Monitor1320, 204,800 triangles, 409,600 after cell split).
 Reference baseline: the recorded trace `Results/Monitor1320/Ih0.txt` —
 ~108 ADMM time steps to the DtTol stop in 52.97 s single-thread C++
 (`BASELINE.md`). We run the same config with the same DtTol stop on this
-chip (f32 fast path, chunked steps) and report wall seconds;
-`vs_baseline` = reference_time / our_time (higher is better).
+chip (f32 fast path, component-form Pallas prox kernels, whole-run
+device loops for small configs / chunked dispatches for large ones) and
+report wall seconds; `vs_baseline` = reference_time / our_time (higher
+is better). Round-4 rehearsals: 9.7-9.9 s to reference quality = 5.3-5.4x.
 
 Robustness (round-1 postmortem: the driver's capture timed out mid
 cold-compile):

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
                     help="base dir for FromFile mesh paths (defaults to the "
                          "config's repo root when using a reference config)")
     ap.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    ap.add_argument("--prox", default=None, choices=["vmap", "pallas"],
+                    help="prox backend (pallas = component-form TPU "
+                         "kernel; eligible non-comp-mesh configs only)")
     ap.add_argument("--steps", type=int, default=None, help="override nSteps")
     ap.add_argument("--chunk", type=int, default=1,
                     help="outer steps per device program (lax.scan)")
@@ -57,6 +60,8 @@ def main(argv=None) -> int:
     cfg.n_devices = args.n_devices
     if args.dtype:
         cfg.dtype = args.dtype
+    if args.prox:
+        cfg.prox_backend = args.prox
     if args.steps is not None:
         cfg.n_steps = args.steps
 
