@@ -116,8 +116,10 @@ class BackwardEulerIntegrator:
             # 6 terms give ~1e-9 relative — and each term is a full
             # gather/VPU/scatter pass, the dominant per-step cost at
             # production sizes
+            env_terms = os.environ.get("MMADMM_BE_TERMS")
             krylov_maxiter = (
-                6 if krylov_solver == "neumann"
+                int(env_terms) if env_terms
+                else 6 if krylov_solver == "neumann"
                 else 8 if krylov_solver == "hess" else 40
             )
 

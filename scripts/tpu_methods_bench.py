@@ -130,7 +130,9 @@ def run_device_bench(integ, cfg, ref_s, ref_ih, rise=False):
 def run_chunked_bench(integ, cfg, ref_s, ref_ih, method):
     # big chunks amortize the ~150 ms tunnel dispatch (37 ms/step at
     # chunk=4 was ~20% of the BE step at Monitor1160)
-    chunk = 25 if method == 1 else 16
+    chunk = int(os.environ.get(
+        "MMADMM_BENCH_CHUNK", "25" if method == 1 else "16"
+    ))
     state = integ.init_state()
     t0 = time.perf_counter()
     state, _ = integ.multi_step(state, chunk)
