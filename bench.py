@@ -58,6 +58,10 @@ REF_SECONDS = {
     "3DMonitor210": 7.54,
     "3DMonitor220": 42.38,
     "3DMonitor240": 350.9,  # Data/3DMonitor2/Single3DMonitor240.json
+    # CompMesh family (xi-mesh Ehat): trace Results/3DMonitor310/Ih0.txt;
+    # 320 ships no trace (Data/3DMonitor3/Single3DMonitor320.json)
+    "3DMonitor310": 4.04989,
+    "3DMonitor320": 32.392,
     # the 6.1M-tet tier (nx=80), single-thread reference times from
     # Data/3DMonitor{1,2}/Single3DMonitor{1,2}80.json (no recorded traces)
     "3DMonitor180": 25290.0,
@@ -83,6 +87,7 @@ REF_FINAL_IH = {
     "3DMonitor210": 10.0217,  # Results/3DMonitor210/Ih0.txt last row
     "3DMonitor220": 10.0692,  # Results/3DMonitor220/Ih0.txt last row
     # 3DMonitor240: no recorded trace
+    "3DMonitor310": 0.868609,  # Results/3DMonitor310/Ih0.txt last row
 }
 T0 = time.perf_counter()
 

@@ -137,8 +137,10 @@ class MovingMesh:
                 and not self.grid.constant
                 and self.grid.cell_table.shape[-1] == 16
             )
+            # 3D supports CompMesh too: the xi-mesh Ehat rides in as 9
+            # extra per-element tiles (prox_pallas3d comp_mesh=True)
             ok3d = (
-                self.dim == 3 and not self.comp_mesh
+                self.dim == 3
                 and (
                     self.grid.constant
                     or (self.grid.cell_table is not None
@@ -173,7 +175,8 @@ class MovingMesh:
                 from .ops.prox_pallas3d import make_prox_pallas3d
 
                 self.prox_fn = make_prox_pallas3d(
-                    self.ehat, self.w, interpret=interp
+                    self.ehat, self.w, comp_mesh=self.comp_mesh,
+                    interpret=interp,
                 )
         else:
             self.prox_fn = make_prox_solver(

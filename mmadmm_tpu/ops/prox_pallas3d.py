@@ -260,9 +260,14 @@ def _edet_c3(z):
 _TILE = 8 * 128
 
 
-def make_prox_pallas3d(ehat_const, w: float, *, interpret: bool = False):
-    """Prox with the vmap backend's signature for D=3 problems (no comp
-    mesh; symmetric cell table or constant grid)."""
+def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
+                       interpret: bool = False):
+    """Prox with the vmap backend's signature for D=3 problems
+    (symmetric cell table or constant grid). ``comp_mesh=True`` takes
+    the per-element xi-mesh edge matrix as 9 extra input tiles instead
+    of the constant reference Ehat (AdaptationFunctional.cpp:176-201 —
+    the 3DMonitor3 family); the component math is unchanged because the
+    ehat entries are plain multiplicands either way."""
     import sys
 
     from jax.experimental import pallas as pl
@@ -273,14 +278,24 @@ def make_prox_pallas3d(ehat_const, w: float, *, interpret: bool = False):
     if sys.getrecursionlimit() < 50000:
         sys.setrecursionlimit(50000)
 
-    eh = np.asarray(ehat_const, dtype=np.float64).reshape(-1)
-    ehat = tuple(float(v) for v in eh)
+    if comp_mesh:
+        ehat_static = None
+    else:
+        eh = np.asarray(ehat_const, dtype=np.float64).reshape(-1)
+        ehat_static = tuple(float(v) for v in eh)
     w = float(w)
     n = 12
 
     def _make_kernel(tol: float, max_iters: int):
-        def kernel(z_ref, dxpu_ref, free_ref, cells_ref, zout_ref,
-                   ih0_ref, zscr, ascr):
+        def kernel(*refs):
+            if comp_mesh:
+                (z_ref, dxpu_ref, free_ref, cells_ref, ehat_ref,
+                 zout_ref, ih0_ref, zscr, ascr) = refs
+                ehat = [ehat_ref[c, 0] for c in range(9)]
+            else:
+                (z_ref, dxpu_ref, free_ref, cells_ref,
+                 zout_ref, ih0_ref, zscr, ascr) = refs
+                ehat = ehat_static
             z = [z_ref[c, 0] for c in range(n)]
             dxpu = [dxpu_ref[c, 0] for c in range(n)]
             free = [free_ref[c, 0] for c in range(n)]
@@ -346,10 +361,17 @@ def make_prox_pallas3d(ehat_const, w: float, *, interpret: bool = False):
                 (1, 8, 128), lambda i: (i, i * 0, i * 0),
                 memory_space=pltpu.VMEM,
             )
+            spec9 = pl.BlockSpec(
+                (9, 1, 8, 128), lambda i: (i * 0, i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            )
+            in_specs = [spec_n, spec_n, spec_n, spec_c]
+            if comp_mesh:
+                in_specs.append(spec9)
             call_cache[key] = pl.pallas_call(
                 _make_kernel(float(tol), int(max_iters)),
                 grid=(T,),
-                in_specs=[spec_n, spec_n, spec_n, spec_c],
+                in_specs=in_specs,
                 out_specs=(spec_n, spec1),
                 out_shape=(
                     jax.ShapeDtypeStruct((n, T, 8, 128), dtype),
@@ -406,9 +428,14 @@ def make_prox_pallas3d(ehat_const, w: float, *, interpret: bool = False):
         dxpu_t = _to_tiles(dxpu.reshape(nf, n), nfp)
         free_t = _to_tiles(free_mask.reshape(nf, n), nfp)
 
-        zo, ih0 = _get_call(tol, max_iters, T, z.dtype)(
-            z_t, dxpu_t, free_t, cells_t
-        )
+        args = [z_t, dxpu_t, free_t, cells_t]
+        if comp_mesh:
+            # per-element xi-mesh Ehat, row-major [d, j] = xi_{j+1} - xi_0
+            # (huang._common_terms comp-mesh branch)
+            eh_e = jnp.swapaxes(xi[:, 1:] - xi[:, :1], 1, 2)  # [NF, 3, 3]
+            args.append(_to_tiles(eh_e.reshape(nf, 9), nfp))
+
+        zo, ih0 = _get_call(tol, max_iters, T, z.dtype)(*args)
         z_opt = zo.reshape(n, nfp).T[:nf].reshape(nf, 4, 3)
         ih0 = ih0.reshape(nfp)[:nf]
         if J_state is None:

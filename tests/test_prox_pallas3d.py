@@ -132,3 +132,39 @@ def test_admm_with_pallas3d_backend_converges():
         tr2.append(float(info2.ih_start))
     np.testing.assert_allclose(tr[0], tr2[0], rtol=2e-6)
     assert abs(tr[-1] - tr2[-1]) < 5e-4 * max(abs(tr2[-1]), 1.0)
+
+
+def test_kernel_prox_comp_mesh_matches_vmap():
+    """CompMesh (xi-mesh Ehat as per-element tiles): the kernel must
+    match the vmap backend on the 3DMonitor3-family configuration."""
+    cfg = ExperimentConfig(
+        test_type="SquareGrid", dim=3, mon_type=5, method=0,
+        nx=4, ny=4, nz=4, dt=5e-3, tau=0.1, rho=10.0, dtype="float32",
+        comp_mesh=True,
+    )
+    mesh, integ = build_problem(cfg)
+    assert mesh.comp_mesh
+    z = mesh.gather(mesh.X0)
+    rng = np.random.default_rng(1)
+    dxpu = z + jnp.asarray(
+        rng.normal(scale=1e-3, size=z.shape), dtype=z.dtype
+    )
+    pf = prox_pallas3d.make_prox_pallas3d(
+        mesh.ehat, mesh.w, comp_mesh=True, interpret=True
+    )
+    z_p, ih0_p = pf(mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, 1e-5, 50)
+    z_v, ih0_v = mesh.prox(z, mesh.xi, dxpu, mesh.elem_free, 1e-5, 50)
+    np.testing.assert_allclose(
+        np.asarray(ih0_p), np.asarray(ih0_v), rtol=3e-5, atol=1e-7
+    )
+
+    def reg_energy(zz):
+        e = mesh._energy_e(zz, mesh.xi, mesh.grid)
+        return np.asarray(
+            e + 0.5 * mesh.w**2 * jnp.sum((dxpu - zz) ** 2, axis=(1, 2))
+        )
+
+    np.testing.assert_allclose(
+        reg_energy(jnp.asarray(z_p)), reg_energy(jnp.asarray(z_v)),
+        rtol=2e-4, atol=1e-6,
+    )
