@@ -114,7 +114,13 @@ def _build(name: str):
     # 3DMonitor220; headline 16.7 -> 9.9 s). MMADMM_PROX=vmap overrides;
     # ineligible configs (comp-mesh, asymmetric monitors) fall back via
     # the ValueError below.
-    if os.environ.get("MMADMM_PROX") is None:
+    # CompMesh stays on the vmap backend: the kernel is CORRECT there
+    # (CPU-tested) but measured SLOWER at scale — on 3DMonitor320
+    # (rho=10, weakly regularized) exact-Newton sweeps keep elements
+    # active for many iterations where the vmap chord retires them
+    # cheaply (61 s vs 9.3 s). The kernel's win is the strongly-convex
+    # regime every other family lives in.
+    if os.environ.get("MMADMM_PROX") is None and not cfg.comp_mesh:
         cfg.prox_backend = "pallas"
     log(f"{name}: building problem (prox={cfg.prox_backend})")
     try:
