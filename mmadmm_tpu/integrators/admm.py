@@ -130,8 +130,23 @@ class ADMMIntegrator:
         # CALL (slab-streamed, ``ops.prox jac_batch``) and keeps it only
         # for the call's lifetime. Auto: carry while the tensor is
         # <= 400 MB; MMADMM_JCARRY=0/1 overrides.
-        if j_carry is None and mesh.prox_backend == "pallas":
-            j_carry = False  # the kernel rebuilds its Jacobian in VMEM
+        if mesh.prox_backend == "pallas":
+            # the kernel rebuilds its Jacobian in VMEM per tile — there is
+            # no HBM chord-J to carry, so the pallas path ALWAYS runs
+            # j_carry=False. An explicit j_carry=True (argument or
+            # MMADMM_JCARRY=1) is a contradiction, not a preference: warn
+            # and ignore rather than thread a dead [NF, n, n] tensor
+            # through the state.
+            env = os.environ.get("MMADMM_JCARRY")
+            if j_carry or (j_carry is None and env == "1"):
+                import warnings
+
+                warnings.warn(
+                    "prox_backend='pallas' ignores j_carry=True: the "
+                    "kernel keeps its Jacobian VMEM-resident per tile",
+                    stacklevel=2,
+                )
+            j_carry = False
         if j_carry is None:
             env = os.environ.get("MMADMM_JCARRY")
             if env is not None:

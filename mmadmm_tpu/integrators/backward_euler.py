@@ -326,10 +326,19 @@ class BackwardEulerIntegrator:
                     # documents as uncompilable on this backend
                     finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
                     dx = jnp.where(finite > 0.5, dx, -Fv)
-                    xv = xv + dx
-                    Fv_new = residual(xv, xn)
+                    x_new = xv + dx
+                    Fv_new = residual(x_new, xn)
                     gnorm_new = block_sum_f64(jnp.abs(Fv_new))
-                    return it + 1, xv, Fv_new, gnorm_new, gnorm
+                    # keep the BEST-seen iterate: when the step increases
+                    # ||F|| the pre-step x rides the carry (the reference
+                    # tests before stepping, Mesh.cpp:1287-1299, so it
+                    # never returns a degraded iterate either); the stall
+                    # stop then exits on gnorm == gprev
+                    improved = gnorm_new < gnorm
+                    xv = jnp.where(improved, x_new, xv)
+                    Fv = jnp.where(improved, Fv_new, Fv)
+                    gkeep = jnp.where(improved, gnorm_new, gnorm)
+                    return it + 1, xv, Fv, gkeep, gnorm
 
                 F0 = residual(xv, xn)
                 g0 = block_sum_f64(jnp.abs(F0))
@@ -474,10 +483,17 @@ class BackwardEulerIntegrator:
                     # (ops/prox.py solve_dir)
                     finite = jnp.min(jnp.isfinite(dx).astype(dx.dtype))
                     dx = jnp.where(finite > 0.5, dx, -Fv)
-                    xv = xv + dx
-                    Fv_new = residual(xv, xn)
+                    x_new = xv + dx
+                    Fv_new = residual(x_new, xn)
                     gnorm_new = block_sum_f64(jnp.abs(Fv_new))
-                    return it + 1, xv, Fv_new, gnorm_new, gnorm
+                    # best-seen carry, like the single-device loop: a step
+                    # that raises ||F|| is discarded and the stall stop
+                    # exits on the pre-step iterate
+                    improved = gnorm_new < gnorm
+                    xv = jnp.where(improved, x_new, xv)
+                    Fv = jnp.where(improved, Fv_new, Fv)
+                    gkeep = jnp.where(improved, gnorm_new, gnorm)
+                    return it + 1, xv, Fv, gkeep, gnorm
 
                 F0 = residual(x, xn)
                 g0 = block_sum_f64(jnp.abs(F0))

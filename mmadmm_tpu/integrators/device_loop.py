@@ -32,10 +32,11 @@ def build_run_loop(step_fn, dt: float, cap: int):
     (state', ih_f64)``.
 
     Returns ``run(state, consts, dt_tol, target_ih, use_target,
-    min_steps) -> (state', trace[cap] f64, steps i32)`` — jit it (or
-    shard_map it) at the call site. ``cap`` is the static step bound
-    (``nSteps``); ``dt_tol``/``target_ih``/``use_target``/``min_steps``
-    are traced scalars so stop criteria change without recompiling.
+    min_steps, stop_on_rise) -> (state', trace[cap] f64, steps i32)`` —
+    jit it (or shard_map it) at the call site. ``cap`` is the static step
+    bound (``nSteps``); ``dt_tol``/``target_ih``/``use_target``/
+    ``min_steps``/``stop_on_rise`` are traced scalars so stop criteria
+    change without recompiling.
     ``min_steps`` arms the target stop only from that step on — an energy
     trace under the predictor guard is not monotone, so "time to
     reference quality" must mean the LAST downward crossing (the same
