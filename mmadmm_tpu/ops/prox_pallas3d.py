@@ -442,4 +442,19 @@ def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
             return z_opt, ih0
         return z_opt, ih0, J_state[0]
 
+    def tiled_call(z_t, dxpu_t, free_t, cells_t, tol, max_iters):
+        """Direct kernel entry on ALREADY-TILED channel-major inputs —
+        the SoA big-tier path (integrators/admm_soa.py) builds its tiles
+        from flat layouts without ever materializing [NF, 4, ...] blobs.
+        z_t/dxpu_t/free_t: [12, T, 8, 128]; cells_t: [216, T, 8, 128]
+        (per-vertex 48 corner entries + 6 bounds, vertex-major).
+        Returns (z_t' [12, T, 8, 128], ih0_t [T, 8, 128])."""
+        T = z_t.shape[1]
+        return _get_call(tol, max_iters, T, z_t.dtype)(
+            z_t, dxpu_t, free_t, cells_t
+        )
+
+    prox.tiled_call = tiled_call
+    prox.TILE = _TILE
+    prox.ROW_W = _ROW_W3
     return prox

@@ -85,6 +85,33 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
 
         device_mesh = make_device_mesh(cfg.n_devices)
     if cfg.method == 0:
+        # the 6.1M-tet tier (3DMonitor180/280): element-major layouts pad
+        # 20-100x under XLA:TPU's (8,128) tiling and cannot fit one chip
+        # (scripts/tpu_280_probe.py) — big 3D meshes route to the
+        # channel-major slab-streamed step (integrators/admm_soa.py).
+        # MMADMM_SOA=1/0 forces/disables; threshold via MMADMM_SOA_MIN.
+        soa_env = os.environ.get("MMADMM_SOA")
+        soa_min = int(os.environ.get("MMADMM_SOA_MIN", 1_500_000))
+        want_soa = (
+            soa_env == "1"
+            or (soa_env != "0" and mesh.n_elements >= soa_min)
+        )
+        soa_ok = (
+            cfg.dim == 3 and not cfg.comp_mesh and device_mesh is None
+            and (mesh.grid.constant
+                 or (mesh.grid.cell_table is not None
+                     and mesh.grid.cell_table.shape[-1] == 48))
+        )
+        if want_soa and soa_ok:
+            from .integrators.admm_soa import SoAADMM3D
+
+            integ = SoAADMM3D(
+                mesh, cfg.dt,
+                admm_iters=cfg.admm_iter, tol=cfg.step_tol,
+                prox_max_iters=cfg.prox_newton_iters,
+                grad_use=cfg.grad_use,
+            )
+            return mesh, integ
         integ = ADMMIntegrator(
             mesh, cfg.dt,
             admm_iters=cfg.admm_iter, tol=cfg.step_tol,

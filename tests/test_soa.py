@@ -1,0 +1,90 @@
+"""SoA (channel-major, slab-streamed) big-tier ADMM step vs the stock
+element-major step — same math, different execution layout
+(``integrators/admm_soa.py``; built for the 6.1M-tet tier where the
+stock layouts pad past HBM, VERDICT r4 missing item 1).
+
+Small meshes + multiple slab chunks so the chunked gather/scatter/prox
+paths and the padded-element tail are all exercised. Differences vs the
+stock step come only from f32 block-reduction order (the SoA arrays are
+channel-major and padded), so Ih agrees to ~1e-6 relative and the
+trajectory stays locked over several steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from mmadmm_tpu.config import ExperimentConfig
+from mmadmm_tpu.problems import build_problem
+
+
+def _run(mon_type: int, soa: bool, steps: int, slab_env: str | None = None):
+    old = {
+        k: os.environ.get(k) for k in ("MMADMM_SOA", "MMADMM_SOA_SLAB")
+    }
+    try:
+        os.environ["MMADMM_SOA"] = "1" if soa else "0"
+        if slab_env is not None:
+            os.environ["MMADMM_SOA_SLAB"] = slab_env
+        cfg = ExperimentConfig(
+            test_type="SquareGrid", dim=3, mon_type=mon_type, method=0,
+            nx=5, ny=5, nz=5, dt=0.025, tau=0.5, rho=50.0,
+            dtype="float32", prox_backend="pallas",
+        )
+        mesh, integ = build_problem(cfg)
+        s = integ.init_state()
+        out = []
+        for _ in range(steps):
+            s, info = integ.step(s)
+            out.append(
+                (float(info.ih_start), int(info.n_iters),
+                 float(info.primal))
+            )
+        return out, integ, s
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mon_type", [0, 3])  # constant grid + cell table
+def test_soa_step_matches_stock(mon_type):
+    a, integ_a, _ = _run(mon_type, soa=False, steps=3)
+    # slab 1024 -> nx=5 (1500 tets) spans TWO chunks: the chunked paths
+    # and the padded tail both execute
+    b, integ_b, sb = _run(mon_type, soa=True, steps=3, slab_env="1024")
+    assert type(integ_b).__name__ == "SoAADMM3D"
+    assert type(integ_a).__name__ == "ADMMIntegrator"
+    for (ih_a, it_a, pr_a), (ih_b, it_b, pr_b) in zip(a, b):
+        assert ih_a == pytest.approx(ih_b, rel=2e-6)
+        assert it_a == it_b
+        assert pr_a == pytest.approx(pr_b, rel=1e-3, abs=1e-6)
+    x = integ_b.node_positions(sb)
+    assert np.all(np.isfinite(x))
+
+
+@pytest.mark.slow
+def test_soa_multi_step_matches_stepwise():
+    b1, integ, _ = _run(3, soa=True, steps=2, slab_env="1024")
+    os.environ["MMADMM_SOA"] = "1"
+    os.environ["MMADMM_SOA_SLAB"] = "1024"
+    try:
+        cfg = ExperimentConfig(
+            test_type="SquareGrid", dim=3, mon_type=3, method=0,
+            nx=5, ny=5, nz=5, dt=0.025, tau=0.5, rho=50.0,
+            dtype="float32", prox_backend="pallas",
+        )
+        _, integ2 = build_problem(cfg)
+        s = integ2.init_state()
+        s, infos = integ2.multi_step(s, 2)
+        for (ih_a, *_), ih_b in zip(b1, np.asarray(infos.ih_start)):
+            assert ih_a == pytest.approx(float(ih_b), rel=1e-7)
+    finally:
+        os.environ.pop("MMADMM_SOA", None)
+        os.environ.pop("MMADMM_SOA_SLAB", None)
