@@ -39,6 +39,11 @@ import time
 # last-row wall time IS the 100-step time; 3DMonitor140 ships no trace,
 # its number is Data/3DMonitor1/Single3DMonitor140.json (full run, ADMM).
 REF_SECONDS = {
+    "Monitor120": 3.82,
+    "Monitor140": 0.398,
+    "Monitor180": 1.14,
+    "Monitor220": 0.133,
+    "Monitor320": 0.145,
     "Monitor1320": 52.97,
     "Monitor1160": 12.73,  # Results/Monitor1160/Ih0.txt last row
     "Monitor2320": 169.1,
@@ -83,6 +88,14 @@ REF_SECONDS = {
 # value. The run still continues to the same |dIh/dt| < DtTol stop the
 # reference uses, and both times are reported.
 REF_FINAL_IH = {
+    # the reference's recorded Monitor120 trace is the unguarded
+    # 1000-step run (final 0.828926); our guarded run converges BELOW it
+    # in ~50 steps, so first touch of 0.828926 is the honest target
+    "Monitor120": 0.828926,
+    "Monitor140": 0.813178,
+    "Monitor180": 0.813195,
+    "Monitor220": 2.59474,
+    "Monitor320": 0.118747,
     "Monitor1320": 0.81342,
     "Monitor1160": 0.81342,
     "Monitor2320": 2.60916,
@@ -231,6 +244,39 @@ def run_config_device(name: str):
             jax.block_until_ready(s2.x)
             t_target = time.perf_counter() - t0
             log(f"{name}: target stop at step {int(st2)}, {t_target:.2f}s")
+        else:
+            # quality EXTENSION (ADVICE r4 medium): the run ended above
+            # the reference's recorded final Ih — either the step cap
+            # bound it (3DMonitor120 runs its full nSteps) or the DtTol
+            # stop fired early (Monitor220). Rerun with 4x the cap and
+            # the DtTol stop disabled; if the trajectory does reach the
+            # reference's quality, time THAT honestly (wall to the
+            # in-graph target stop, extra steps included). If it never
+            # reaches, the row stays annotated below-quality.
+            cap4 = 4 * cap
+            log(f"{name}: quality not reached in cap={cap}; extending "
+                f"to cap={cap4} with DtTol off")
+            s3, tr3, st3 = integ.run_device(
+                integ.init_state(), cap=cap4, dt_tol=0.0,
+            )
+            jax.block_until_ready(s3.x)
+            tr3 = np.asarray(tr3)
+            st3 = int(st3)
+            above3 = np.nonzero(~(tr3[:st3] <= target))[0]
+            k3 = (int(above3[-1]) + 1) if above3.size else 0
+            if k3 < st3:
+                t0 = time.perf_counter()
+                s4, _, st4 = integ.run_device(
+                    integ.init_state(), cap=cap4, dt_tol=0.0,
+                    target_ih=target, min_steps=k3 + 1,
+                )
+                jax.block_until_ready(s4.x)
+                t_target = time.perf_counter() - t0
+                log(f"{name}: EXTENDED target stop at step {int(st4)}, "
+                    f"{t_target:.2f}s")
+            else:
+                log(f"{name}: quality unreachable even at cap={cap4} "
+                    f"(floor {np.nanmin(tr3[:st3]):.6f} > {target})")
     return wall, steps, ih, t_target
 
 

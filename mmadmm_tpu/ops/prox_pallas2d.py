@@ -531,4 +531,19 @@ def make_prox_pallas2d(ehat_const, w: float, *, interpret: bool = False):
             return z_opt, ih0
         return z_opt, ih0, J_state[0]
 
+    def tiled_call(z_t, dxpu_t, free_t, cells_t, tol, max_iters):
+        """Direct kernel entry on ALREADY-TILED channel-major inputs —
+        used by the structured-grid engine (integrators/admm_grid2d.py),
+        which builds tiles by stencil slicing instead of gathers.
+        z_t/dxpu_t/free_t: [6, T, 8, 128]; cells_t: [48, T, 8, 128]
+        (three 16-wide per-vertex cell rows, vertex-major). Returns
+        (z_t' [6, T, 8, 128], ih0_t [T, 8, 128])."""
+        T = z_t.shape[1]
+        return _get_call(tol, max_iters, T, z_t.dtype)(
+            z_t, dxpu_t, free_t, cells_t
+        )
+
+    prox.tiled_call = tiled_call
+    prox.TILE = _TILE
+    prox.ROW_W = _ROW_W
     return prox

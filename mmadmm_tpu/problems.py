@@ -112,6 +112,36 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
                 grad_use=cfg.grad_use,
             )
             return mesh, integ
+        # structured 2D meshes at scale: the stencil engine replaces the
+        # index-bound gather/scatter pair (~2/3 of the ADMM iteration,
+        # COVERAGE.md roofline) with shifted-slice arithmetic
+        # (integrators/admm_grid2d.py). MMADMM_GRID2D=1/0 forces/disables.
+        g2_env = os.environ.get("MMADMM_GRID2D")
+        g2_min = int(os.environ.get("MMADMM_GRID2D_MIN", 50_000))
+        want_g2 = (
+            g2_env == "1"
+            or (g2_env != "0" and mesh.n_elements >= g2_min)
+        )
+        g2_ok = (
+            cfg.dim == 2 and not cfg.comp_mesh and device_mesh is None
+            and cfg.test_type in ("SquareGrid", "Shoulder")
+            and mesh.grid.cell_table is not None
+            and not mesh.grid.constant
+            and mesh.grid.cell_table.shape[-1] == 16
+            and (4 * cfg.nx * cfg.ny) % 1024 == 0
+            and mesh.n_pnts == (cfg.nx + 1) * (cfg.ny + 1) + cfg.nx * cfg.ny
+            and os.environ.get("MMADMM_PROX") != "vmap"
+        )
+        if want_g2 and g2_ok:
+            from .integrators.admm_grid2d import GridADMM2D
+
+            integ = GridADMM2D(
+                mesh, cfg.dt, cfg.nx, cfg.ny,
+                admm_iters=cfg.admm_iter, tol=cfg.step_tol,
+                prox_max_iters=cfg.prox_newton_iters,
+                grad_use=cfg.grad_use,
+            )
+            return mesh, integ
         integ = ADMMIntegrator(
             mesh, cfg.dt,
             admm_iters=cfg.admm_iter, tol=cfg.step_tol,

@@ -43,8 +43,11 @@ log(f"NF={mesh.n_elements} NP={mesh.n_pnts} "
 import jax  # noqa: E402
 
 state = integ.init_state()
-log("state built; lowering step")
-lowered = jax.jit(integ.step_fn).lower(state, integ.consts)
+log(f"state built ({type(integ).__name__}); lowering step")
+consts = getattr(integ, "consts", None)
+if consts is None:
+    consts = integ._consts
+lowered = jax.jit(integ.step_fn).lower(state, consts)
 log("lowered; compiling (remote compile server, minutes)")
 try:
     compiled = lowered.compile()
