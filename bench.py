@@ -183,15 +183,13 @@ def _build(name: str):
     # component-form Pallas prox kernels (measured on-chip: 2D 12.5 ms
     # vs 56.6 ms vmap at Monitor1320, 3D 10.1 ms vs 51.2 ms at
     # 3DMonitor220; headline 16.7 -> 9.9 s). MMADMM_PROX=vmap overrides;
-    # ineligible configs (comp-mesh, asymmetric monitors) fall back via
-    # the ValueError below.
-    # CompMesh stays on the vmap backend: the kernel is CORRECT there
-    # (CPU-tested) but measured SLOWER at scale — on 3DMonitor320
-    # (rho=10, weakly regularized) exact-Newton sweeps keep elements
-    # active for many iterations where the vmap chord retires them
-    # cheaply (61 s vs 9.3 s). The kernel's win is the strongly-convex
-    # regime every other family lives in.
-    if os.environ.get("MMADMM_PROX") is None and not cfg.comp_mesh:
+    # ineligible configs (2D comp-mesh, asymmetric monitors) fall back
+    # via the ValueError below. Round 5: CompMesh 3D also runs the
+    # kernel — in CHORD mode (VMEM-cached Hessian, refresh only on
+    # rejection), which removes the round-4 pathology where exact-Newton
+    # sweeps lost to the vmap chord on the weakly-regularized
+    # 3DMonitor320 (61 s vs 9.3 s).
+    if os.environ.get("MMADMM_PROX") is None:
         cfg.prox_backend = "pallas"
     log(f"{name}: building problem (prox={cfg.prox_backend})")
     try:

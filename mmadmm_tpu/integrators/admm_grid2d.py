@@ -47,16 +47,8 @@ from ..mesh import MovingMesh
 from ..ops import huang
 from ..ops.monitor_grid import _cell_index
 from ..ops.reductions import block_sum_f64, block_sumsq_f64
+from ..ops.stencil2d import make_stencil_ops, match_dense
 from .admm import StepInfo
-
-# canonical cell split (MeshUtils.h:128-153): per triangle k, the vertex
-# sources among (bl, br, tl, tr, mid)
-_VMAP = {
-    0: ("bl", "M", "tl"),   # Left
-    1: ("M", "tr", "tl"),   # Top
-    2: ("M", "tr", "br"),   # Right
-    3: ("bl", "br", "M"),   # Bottom
-}
 
 
 class Grid2DState(NamedTuple):
@@ -67,26 +59,6 @@ class Grid2DState(NamedTuple):
     ih_last: jnp.ndarray
     rose: jnp.ndarray
     rises: jnp.ndarray
-
-
-def _canonical_dense(nx: int, ny: int):
-    """Canonical (pre-reorient) dense F for the uniform rect mesh."""
-    stride = (nx + 1) * (ny + 1)
-    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
-    ii = ii.ravel()
-    jj = jj.ravel()
-    bl = ii + jj * (nx + 1)
-    br = ii + 1 + jj * (nx + 1)
-    tl = ii + (jj + 1) * (nx + 1)
-    tr = ii + 1 + (jj + 1) * (nx + 1)
-    mid = stride + ii + jj * nx
-    ncell = nx * ny
-    F = np.empty((4 * ncell, 3), dtype=np.int64)
-    F[0::4] = np.stack([bl, mid, tl], axis=1)
-    F[1::4] = np.stack([mid, tr, tl], axis=1)
-    F[2::4] = np.stack([mid, tr, br], axis=1)
-    F[3::4] = np.stack([bl, br, mid], axis=1)
-    return F
 
 
 class GridADMM2D:
@@ -134,29 +106,8 @@ class GridADMM2D:
         dtype = self.dtype = mesh.dtype
 
         # ---- match the mesh's compact F to the dense canonical order ----
-        Fc = _canonical_dense(nx, ny)           # [NFd, 3]
-        Fm = np.asarray(mesh._F_np, dtype=np.int64)  # [NF, 3], order kept
-        keys_c = np.sort(Fc, axis=1)
-        keys_m = np.sort(Fm, axis=1)
-        alive = np.zeros(NFd, dtype=bool)
-        swapped = np.zeros(NFd, dtype=bool)
-        mesh_of_dense = np.full(NFd, -1, dtype=np.int64)
-        mi = 0
-        NF = Fm.shape[0]
-        for e in range(NFd):
-            if mi < NF and np.array_equal(keys_c[e], keys_m[mi]):
-                alive[e] = True
-                mesh_of_dense[e] = mi
-                if not np.array_equal(Fc[e], Fm[mi]):
-                    # reOrientElements only ever swaps vertices 1 and 2
-                    assert np.array_equal(
-                        Fc[e][[0, 2, 1]], Fm[mi]
-                    ), f"unexpected vertex permutation at element {mi}"
-                    swapped[e] = True
-                mi += 1
-        assert mi == NF, (
-            f"dense/compact element matching failed ({mi} of {NF})"
-        )
+        alive, swapped, mesh_of_dense = match_dense(nx, ny, mesh._F_np)
+        NF = mesh._F_np.shape[0]
         self.NF = NF
 
         # per-(k) cell planes [ny, nx]
@@ -238,81 +189,18 @@ class GridADMM2D:
         grad_use = self.grad_use
         mesh = self.mesh
 
-        def corner_planes(page):
-            """Grid page [ny+1, nx+1] -> (bl, br, tl, tr) cell planes."""
-            return (
-                page[:-1, :-1], page[:-1, 1:], page[1:, :-1], page[1:, 1:]
-            )
+        gather_ch, scatter_ch = make_stencil_ops(nx, ny)
 
         def gather_t(x, c):
             """x [NP, 2] -> z tiles [6, T, 8, 128] via stencil slices."""
-            chans = []
-            for d in range(2):
-                page = x[:stride, d].reshape(ny + 1, nx + 1)
-                M = x[stride:, d].reshape(ny, nx)
-                bl, br, tl, tr = corner_planes(page)
-                src = dict(bl=bl, br=br, tl=tl, tr=tr, M=M)
-                for v in range(3):
-                    per_k = []
-                    for k in range(4):
-                        a = src[_VMAP[k][v]]
-                        if v in (1, 2):
-                            b = src[_VMAP[k][3 - v]]
-                            sk = c["swap_k"][k]
-                            a = sk * b + (1.0 - sk) * a
-                        per_k.append(a)
-                    # element index e = cell*4 + k -> stack k minor
-                    ch = jnp.stack(per_k, axis=-1).reshape(NFd)
-                    chans.append((v, d, ch))
-            out = [None] * 6
-            for v, d, ch in chans:
-                out[v * 2 + d] = ch
-            return jnp.stack(out).reshape(6, T, 8, 128)
+            return gather_ch(x, c["swap_k"]).reshape(6, T, 8, 128)
 
         def scatter_t(y_t, c):
             """Tile values [6, T, 8, 128] -> node field [NP, 2] (D^T y,
             live elements only) via shifted pad-adds."""
-            y = y_t.reshape(6, NFd)
-            cols = []
-            for d in range(2):
-                acc = dict(
-                    bl=jnp.zeros((ny, nx), y.dtype),
-                    br=jnp.zeros((ny, nx), y.dtype),
-                    tl=jnp.zeros((ny, nx), y.dtype),
-                    tr=jnp.zeros((ny, nx), y.dtype),
-                    M=jnp.zeros((ny, nx), y.dtype),
-                )
-                per_v_planes = [
-                    y[v * 2 + d].reshape(ny, nx, 4) for v in range(3)
-                ]
-                for k in range(4):
-                    av = c["alive_k"][k]
-                    sk = c["swap_k"][k]
-                    pv = [per_v_planes[v][:, :, k] * av for v in range(3)]
-                    # un-swap: contribution to canonical v1/v2
-                    p1 = sk * pv[2] + (1.0 - sk) * pv[1]
-                    p2 = sk * pv[1] + (1.0 - sk) * pv[2]
-                    canon = (pv[0], p1, p2)
-                    for v in range(3):
-                        tgt = _VMAP[k][v]
-                        acc[tgt] = acc[tgt] + canon[v]
-
-                def pad(a, jlo, ilo):
-                    return jax.lax.pad(
-                        a, jnp.asarray(0.0, a.dtype),
-                        [(jlo, 1 - jlo, 0), (ilo, 1 - ilo, 0)],
-                    )
-
-                page = (
-                    pad(acc["bl"], 0, 0) + pad(acc["br"], 0, 1)
-                    + pad(acc["tl"], 1, 0) + pad(acc["tr"], 1, 1)
-                )
-                cols.append(
-                    jnp.concatenate(
-                        [page.reshape(stride), acc["M"].reshape(nx * ny)]
-                    )
-                )
-            return jnp.stack(cols, axis=1)  # [NP, 2]
+            return scatter_ch(
+                y_t.reshape(6, NFd), c["swap_k"], c["alive_k"]
+            )
 
         def x_update(x_bar, z_t, u_t, c):
             rhs = tau * x_bar + dt2w2 * scatter_t(z_t - u_t, c)

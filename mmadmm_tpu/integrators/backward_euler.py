@@ -88,6 +88,7 @@ class BackwardEulerIntegrator:
         krylov_solver: str | None = None,
         precondition: bool = False,
         device_mesh=None,
+        grid2d_dims: tuple[int, int] | None = None,
     ):
         self.mesh = mesh
         self.device_mesh = device_mesh
@@ -155,18 +156,89 @@ class BackwardEulerIntegrator:
         # MMADMM_BE_CHORD=0/1 overrides. Newton still solves F(x)=0 to
         # the same stop, so converged quality is unchanged — the bench's
         # quality_tol check pins that.
+        # MEASURED OFF by default (scripts/tpu_be_chord_probe.py,
+        # Monitor1160 m2 f32, 96 steps): chord-off 113.9 ms/step vs
+        # chord-on 172.0 (rebuild_at=5) / 171.5 (8) ms/step — at these
+        # dt/tau the carried linearization goes stale within a step, so
+        # Newton pays back more than the skipped build saves, and an
+        # extrapolated initial guess also lost (68.7 s vs 57.9 s to
+        # quality). Both remain available for A/B via MMADMM_BE_CHORD=1.
         env_chord = os.environ.get("MMADMM_BE_CHORD")
         self.chord_carry = (
-            (env_chord == "1")
-            or (env_chord != "0" and mesh.n_elements >= 50_000)
-        ) and krylov_solver == "neumann" and device_mesh is None
+            env_chord == "1"
+            and krylov_solver == "neumann" and device_mesh is None
+        )
         self.rebuild_at = int(os.environ.get("MMADMM_BE_REBUILD", 5))
 
+        # STENCIL matvec on structured 2D meshes (the BE analogue of the
+        # GridADMM2D engine): each Richardson term is a
+        # gather + He-multiply + scatter pipeline, and at production
+        # sizes the two index ops are ~90% of its cost. With the
+        # uncompacted rect-grid node layout they become window slices and
+        # shifted pad-adds (ops/stencil2d.py); the per-element Hessian
+        # blocks are remapped to dense-grid element order once per step.
+        # Gated at scale (NF >= 50k) like the ADMM engine; the residual
+        # and He build keep the compact path (their cost is the vmapped
+        # energy-grad, not indexing). MMADMM_BE_GRID=0/1 overrides.
+        self._grid2d = None
+        env_grid = os.environ.get("MMADMM_BE_GRID")
+        if (
+            grid2d_dims is not None
+            and krylov_solver == "neumann" and device_mesh is None
+            and mesh.dim == 2
+            and (env_grid == "1"
+                 or (env_grid != "0" and mesh.n_elements >= 50_000))
+        ):
+            try:
+                from ..ops.stencil2d import make_stencil_ops, match_dense
+
+                gnx, gny = grid2d_dims
+                stride = (gnx + 1) * (gny + 1)
+                if mesh.n_pnts == stride + gnx * gny:
+                    alive, swapped, m_of_d = match_dense(
+                        gnx, gny, mesh._F_np
+                    )
+                    NFd = 4 * gnx * gny
+
+                    def planes(v):
+                        return v.reshape(gny, gnx, 4).transpose(2, 0, 1)
+
+                    import numpy as _np
+
+                    he_map = _np.where(
+                        alive, m_of_d, mesh.n_elements
+                    ).astype(_np.int32)
+                    self._grid2d = dict(
+                        ops=make_stencil_ops(gnx, gny),
+                        swap_k=jnp.asarray(
+                            planes(swapped.astype(_np.float64)),
+                            dtype=mesh.dtype,
+                        ),
+                        alive_k=jnp.asarray(
+                            planes(alive.astype(_np.float64)),
+                            dtype=mesh.dtype,
+                        ),
+                        he_map=jnp.asarray(he_map),
+                        NFd=NFd,
+                    )
+            except AssertionError:
+                self._grid2d = None
+
         # mesh arrays threaded as call arguments (not closure constants —
-        # same compile-size rationale as ADMMIntegrator._consts)
+        # same compile-size rationale as ADMMIntegrator._consts). The
+        # stencil-engine masks ride along as a 5th argument (empty dict
+        # when the engine is off).
+        g2c = {}
+        if self._grid2d is not None:
+            g2c = dict(
+                swap_k=self._grid2d["swap_k"],
+                alive_k=self._grid2d["alive_k"],
+                he_map=self._grid2d["he_map"],
+            )
         self._args = (
             mesh.F, mesh.xi, mesh.grid,
             (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+            g2c,
         )
 
         from ..ops import huang
@@ -188,7 +260,12 @@ class BackwardEulerIntegrator:
             if he_bytes > 400 * 2**20 and env_chord != "1":
                 chord_carry = self.chord_carry = False
 
-        def step(state, F, xi, grid, masks):
+        use_grid_mv = self._grid2d is not None
+        if use_grid_mv:
+            _g_gather, _g_scatter = self._grid2d["ops"]
+            _g_nfd = self._grid2d["NFd"]
+
+        def step(state, F, xi, grid, masks, g2c):
             (x, x_prev, He_c, dvec_c, steps, rebuild) = state
             _, interior_nodes, dense_idx = masks
 
@@ -241,6 +318,32 @@ class BackwardEulerIntegrator:
 
                 return mv
 
+            if use_grid_mv:
+                def matvec_from(He):  # noqa: F811 — stencil override
+                    """Stencil matvec: He blocks remapped to dense-grid
+                    element order ONCE (when the mv closure is built,
+                    i.e. once per chord build), then each J v is window
+                    slices + 36 channel FMAs + shifted pad-adds — no
+                    index ops in the Richardson loop."""
+                    He_pad = jnp.concatenate(
+                        [He.reshape(-1, n * n),
+                         jnp.zeros((1, n * n), He.dtype)]
+                    )
+                    He_ch = He_pad[g2c["he_map"]].T  # [36, NFd]
+
+                    def mv(v):
+                        vz = _g_gather(v, g2c["swap_k"])  # [6, NFd]
+                        hv = jnp.stack([
+                            sum(He_ch[i * n + j] * vz[j] for j in range(n))
+                            for i in range(n)
+                        ])
+                        out = _g_scatter(
+                            hv, g2c["swap_k"], g2c["alive_k"]
+                        )
+                        return v + dt_tau * (out * interior_nodes)
+
+                    return mv
+
             def jac_diag(xv):
                 """diag(J) = 1 + (dt/tau) diag(Hess I), exact: the global
                 Hessian is the scatter-sum of per-element Hessians, so its
@@ -287,6 +390,12 @@ class BackwardEulerIntegrator:
                 # more than it saves (measured on Monitor1160:
                 # scripts/be_precond_bench.py)
                 dj = jac_diag(xv) if precondition else None
+                # mv built once per solve (hoists the stencil path's
+                # He remap out of the Newton while-loop)
+                mv0 = (
+                    matvec_from(He0) if krylov_solver == "neumann"
+                    else None
+                )
 
                 # TEST-THEN-STEP carry, matching the reference's loop
                 # (Mesh.cpp:1287-1299: ||F|| tested BEFORE each solve):
@@ -324,7 +433,7 @@ class BackwardEulerIntegrator:
 
                     M = (lambda v: v / dj) if precondition else None
                     if krylov_solver == "neumann":
-                        mv = matvec_from(He0)
+                        mv = mv0
                         dvec = dvec0
                         b = -Fv
                         dx = b / dvec

@@ -174,9 +174,21 @@ class MovingMesh:
             else:
                 from .ops.prox_pallas3d import make_prox_pallas3d
 
+                # CHORD sweeps for comp-mesh problems: the 3DMonitor3
+                # family is weakly regularized (rho=10) and its elements
+                # stay active for many sweeps — the exact-Newton kernel
+                # paid a full 12x12 Hessian per sweep and LOST to the
+                # vmap chord there (round 4); the chord kernel caches the
+                # Hessian in VMEM and refreshes only rejecting tiles.
+                # MMADMM_PROX_CHORD=1/0 forces it on/off for A/B.
+                env_ch = os.environ.get("MMADMM_PROX_CHORD")
+                chord = (
+                    env_ch == "1"
+                    or (env_ch != "0" and self.comp_mesh)
+                )
                 self.prox_fn = make_prox_pallas3d(
                     self.ehat, self.w, comp_mesh=self.comp_mesh,
-                    interpret=interp,
+                    chord=chord, interpret=interp,
                 )
         else:
             self.prox_fn = make_prox_solver(

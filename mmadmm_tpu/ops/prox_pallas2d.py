@@ -359,6 +359,95 @@ def make_newton_sweeps(n, energy_full, grad_full, hess_full, edet_fn,
     return one_iter
 
 
+def make_chord_sweeps(n, energy_full, grad_full, hess_full, edet_fn,
+                      w, tol, h_read, h_write, pl_when):
+    """CHORD variant of :func:`make_newton_sweeps` — the vmap backend's
+    policy (``ops.prox.batched_iter``) on component tiles: the Hessian
+    lives in VMEM scratch across sweeps; every sweep tries the cheap
+    chord step first (one gradient + one LDL^T solve + ONE trial
+    energy), and only lanes that REJECT it pay a refresh (full
+    ``hess_full`` + re-solve + backtracking), executed under ``pl_when``
+    so a tile of all-accepting lanes skips it entirely. This is what
+    makes weakly-regularized configs (rho=10, the 3DMonitor3 CompMesh
+    family) cheap: elements stay active for many sweeps there, and the
+    exact-Newton kernel paid the full Hessian each time (VERDICT r4
+    item 4 — the kernel measured SLOWER than vmap on 3DMonitor320).
+
+    ``h_read() -> H`` (lower-triangular list-of-lists of tiles),
+    ``h_write(H, keep_mask)`` merges new entries per lane (keep_mask
+    True keeps the CACHED entry). ``pl_when`` is ``pl.when`` from the
+    calling kernel (this module stays import-light).
+
+    Returns ``(init_h(zc), one_iter(not_first, zc, active))``.
+    """
+
+    def init_h(zc):
+        h_write(hess_full(zc), None)
+
+    def _solve(H, g):
+        p = ldlt_c(H, [-g[i] for i in range(n)])
+        finite = functools.reduce(
+            jnp.logical_and, [jnp.isfinite(p[i]) for i in range(n)]
+        )
+        inv_w2 = 1.0 / (w * w)
+        return [jnp.where(finite, p[i], -g[i] * inv_w2) for i in range(n)]
+
+    def trial_ok(zt, e0, det_floor):
+        _, e_a = energy_full(zt)
+        return jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(e_a), e_a <= e0),
+            edet_fn(zt) > det_floor,
+        )
+
+    def one_iter(not_first, zc, active, pscr):
+        g, _, e0 = grad_full(zc)
+        gnorm = sum(jnp.abs(g[i]) for i in range(n))
+        det0 = edet_fn(zc)
+        det_floor = jnp.minimum(det0, jnp.zeros_like(det0))
+        p = _solve(h_read(), g)
+        zt = [zc[i] + p[i] for i in range(n)]
+        ok1 = trial_ok(zt, e0, det_floor)
+        for i in range(n):
+            pscr[i] = jnp.where(ok1, p[i], jnp.zeros_like(p[i]))
+        need = jnp.where(
+            jnp.logical_and(active, ~ok1),
+            jnp.ones_like(zc[0]), jnp.zeros_like(zc[0]),
+        )
+
+        @pl_when(jnp.max(need) > 0.5)
+        def _refresh():
+            H2 = hess_full(zc)
+            h_write(H2, ok1)
+            p2 = _solve(H2, g)
+            alpha = jnp.zeros_like(zc[0])
+            for a in _ALPHAS_BT:
+                zt2 = [zc[i] + a * p2[i] for i in range(n)]
+                ok = trial_ok(zt2, e0, det_floor)
+                alpha = jnp.where(ok, jnp.asarray(a, zc[0].dtype), alpha)
+            for i in range(n):
+                pscr[i] = jnp.where(ok1, pscr[i], alpha * p2[i])
+
+        step = [pscr[i] for i in range(n)]
+        step_inf = functools.reduce(
+            jnp.maximum, [jnp.abs(step[i]) for i in range(n)]
+        )
+        zmax = functools.reduce(
+            jnp.maximum, [jnp.abs(zc[i]) for i in range(n)]
+        )
+        eps = 10.0 * jnp.finfo(zc[0].dtype).eps
+        stalled = step_inf <= eps * (1.0 + zmax)
+        retire = jnp.logical_and(gnorm < tol, not_first)
+        active_now = jnp.logical_and(active, ~retire)
+        z_new = [
+            jnp.where(active_now, zc[i] + step[i], zc[i])
+            for i in range(n)
+        ]
+        active_next = jnp.logical_and(active_now, ~stalled)
+        return z_new, active_next
+
+    return init_h, one_iter
+
+
 def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
                     when=None):
     """2D instantiation of :func:`make_newton_sweeps` (kept as the

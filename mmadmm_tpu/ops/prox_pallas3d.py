@@ -261,18 +261,27 @@ _TILE = 8 * 128
 
 
 def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
-                       interpret: bool = False):
+                       chord: bool = False, interpret: bool = False):
     """Prox with the vmap backend's signature for D=3 problems
     (symmetric cell table or constant grid). ``comp_mesh=True`` takes
     the per-element xi-mesh edge matrix as 9 extra input tiles instead
     of the constant reference Ehat (AdaptationFunctional.cpp:176-201 —
     the 3DMonitor3 family); the component math is unchanged because the
-    ehat entries are plain multiplicands either way."""
+    ehat entries are plain multiplicands either way.
+
+    ``chord=True`` switches the sweep to the vmap backend's CHORD policy
+    (``make_chord_sweeps``): the 12x12 Hessian lives in VMEM scratch,
+    each sweep tries the cached-J step with one trial energy, and only
+    rejecting tiles pay a refresh. Default for comp-mesh problems —
+    weakly-regularized configs keep elements active for many sweeps and
+    the exact-Newton sweep's full Hessian made the kernel LOSE to vmap
+    there (VERDICT r4 item 4, commit b604b8f)."""
     import sys
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from .prox_pallas2d import make_chord_sweeps
     from .monitor_grid import _cell_index
 
     if sys.getrecursionlimit() < 50000:
@@ -286,8 +295,12 @@ def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
     w = float(w)
     n = 12
 
+    _tri = [(i, j) for i in range(12) for j in range(i + 1)]
+
     def _make_kernel(tol: float, max_iters: int):
         def kernel(*refs):
+            if chord:
+                *refs, hscr, pscr = refs
             if comp_mesh:
                 (z_ref, dxpu_ref, free_ref, cells_ref, ehat_ref,
                  zout_ref, ih0_ref, zscr, ascr) = refs
@@ -306,14 +319,36 @@ def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
             tol_t = jnp.asarray(tol, z[0].dtype)
 
             ih0, _ = energy_c3(z, cells, ehat)
-            one_iter = make_newton_sweeps(
-                n,
+            fns = (
                 lambda zz: energy_c3(zz, cells, ehat, dxpu, w),
                 lambda zz: grad_c3(zz, cells, ehat, dxpu, w, free),
                 lambda zz: hess_c3(zz, cells, ehat, dxpu, w, free),
                 _edet_c3,
-                w, tol_t,
             )
+            if chord:
+                def h_read():
+                    H = [[None] * n for _ in range(n)]
+                    for t, (i, j) in enumerate(_tri):
+                        H[i][j] = hscr[t]
+                    return H
+
+                def h_write(Hn, keep):
+                    for t, (i, j) in enumerate(_tri):
+                        v = Hn[i][j]
+                        hscr[t] = (
+                            v if keep is None
+                            else jnp.where(keep, hscr[t], v)
+                        )
+
+                init_h, chord_iter = make_chord_sweeps(
+                    n, *fns, w, tol_t, h_read, h_write, pl.when
+                )
+                init_h(z)
+
+                def one_iter(nf, zc, active):
+                    return chord_iter(nf, zc, active, pscr)
+            else:
+                one_iter = make_newton_sweeps(n, *fns, w, tol_t)
             ih0_ref[0] = ih0
             for c in range(n):
                 zscr[c] = z[c]
@@ -368,6 +403,18 @@ def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
             in_specs = [spec_n, spec_n, spec_n, spec_c]
             if comp_mesh:
                 in_specs.append(spec9)
+            scratch = [
+                pltpu.VMEM((n, 8, 128), dtype),
+                pltpu.VMEM((8, 128), dtype),
+            ]
+            if chord:
+                # cached lower-triangular 12x12 Hessian (78 tiles) + the
+                # per-sweep accepted step (merge buffer for the pl.when
+                # refresh branch)
+                scratch += [
+                    pltpu.VMEM((len(_tri), 8, 128), dtype),
+                    pltpu.VMEM((n, 8, 128), dtype),
+                ]
             call_cache[key] = pl.pallas_call(
                 _make_kernel(float(tol), int(max_iters)),
                 grid=(T,),
@@ -377,10 +424,7 @@ def make_prox_pallas3d(ehat_const, w: float, *, comp_mesh: bool = False,
                     jax.ShapeDtypeStruct((n, T, 8, 128), dtype),
                     jax.ShapeDtypeStruct((T, 8, 128), dtype),
                 ),
-                scratch_shapes=[
-                    pltpu.VMEM((n, 8, 128), dtype),
-                    pltpu.VMEM((8, 128), dtype),
-                ],
+                scratch_shapes=scratch,
                 interpret=interpret,
             )
         return call_cache[key]
