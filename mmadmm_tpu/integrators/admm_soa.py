@@ -15,10 +15,12 @@ Design (same math as ``integrators/admm.py`` — predictor energy guard,
 Ihstart semantics, residual stops, dual warm start; only the EXECUTION
 layout differs):
 
-* element-side state is CHANNEL-MAJOR: ``z, u [12, NFp]`` (channel =
-  vertex*3 + coord, the Pallas kernel's native tile layout), node-side
-  state is FLAT: ``x [NPp*3]`` node-major. Rank-2 arrays with a huge
-  minor dim pad ~1.33x worst case; flat 1-D arrays pad nothing.
+* element-side state is CHUNKED CHANNEL-MAJOR: ``z, u [C, 12, S]``
+  (channel = vertex*3 + coord, the Pallas kernel's native tile layout,
+  pre-chunked so XLA never sees a transpose that tempts it into a
+  12-minor layout — see the SoAState comment), node-side state is FLAT:
+  ``x [NPp*3]`` node-major. Flat 1-D arrays pad nothing; the rank-3
+  chunks pad only 12->16 sublanes (1.33x).
 * every per-element stage streams through fixed-size slabs via
   ``lax.map`` (sequential), so any small-minor-dim temporary (the
   [S, 4, 8, 9] cell tensors, [S*4, 3] gather rows) is bounded by the
@@ -57,7 +59,12 @@ _FULL9 = np.array([0, 1, 2, 1, 3, 4, 2, 4, 5], dtype=np.int32)
 class SoAState(NamedTuple):
     x: jnp.ndarray       # [NPp*3] flat node-major
     x_prev: jnp.ndarray  # [NPp*3]
-    u: jnp.ndarray       # [12, NFp] channel-major dual
+    # chunked channel-major dual [C, 12, S]: the CANONICAL element-side
+    # layout. A flat [12, NFp] form was tried first and XLA materialized
+    # it with a transposed {0,1} layout (12 minor -> (8,128) tiling pads
+    # 10.7x = 2.94 GB per buffer at 6.1M tets — the queue-4 OOM); the
+    # chunked rank-3 layout keeps S minor and pads only 12->16.
+    u: jnp.ndarray
     steps: jnp.ndarray
     ih_last: jnp.ndarray
     rose: jnp.ndarray
@@ -215,7 +222,7 @@ class SoAADMM3D:
         return SoAState(
             x=self._x0,
             x_prev=self._x0,
-            u=jnp.zeros((12, self.NFp), dtype=self.dtype),
+            u=jnp.zeros((self.C, 12, self.S), dtype=self.dtype),
             steps=jnp.zeros((), jnp.int32),
             ih_last=jnp.asarray(jnp.inf, jnp.float64),
             rose=jnp.zeros((), bool),
@@ -239,24 +246,21 @@ class SoAADMM3D:
         dtype = self.dtype
 
         def gather12(x1d, c):
-            """x [NPp*3] -> z [12, NFp] channel-major, slab-streamed."""
+            """x [NPp*3] -> z [C, 12, S] chunked channel-major."""
             starts = c["fstarts"].reshape(C, S * 4)
 
             def body(st):
                 rows = _gather3(x1d, st)              # [S*4, 3]
                 return rows.reshape(S, 12).T          # [12, S]
 
-            out = jax.lax.map(body, starts)            # [C, 12, S]
-            return out.transpose(1, 0, 2).reshape(12, NFp)
+            return jax.lax.map(body, starts)           # [C, 12, S]
 
         def to_slot_flat(y12):
-            """[12, NFp] channel-major -> [NFp*12] slot-major flat."""
+            """[C, 12, S] chunked channel-major -> [NFp*12] slot-major."""
             def body(chunk):                           # [12, S]
                 return chunk.T.reshape(S * 12)
 
-            out = jax.lax.map(
-                body, y12.reshape(12, C, S).transpose(1, 0, 2)
-            )                                          # [C, S*12]
+            out = jax.lax.map(body, y12)               # [C, S*12]
             return out.reshape(NFp * 12)
 
         def scatter_flat(y_flat, c):
@@ -310,10 +314,7 @@ class SoAADMM3D:
             return jnp.concatenate(parts)              # [216, S]
 
         def prox12(z12, dxpu12, c):
-            """Slab-streamed Pallas prox: [12, NFp] -> (z', ih0 [NFp])."""
-            zc = z12.reshape(12, C, S).transpose(1, 0, 2)
-            dc = dxpu12.reshape(12, C, S).transpose(1, 0, 2)
-
+            """Slab-streamed Pallas prox: [C, 12, S] -> (z', ih0 [C, S])."""
             def body(args):
                 z_c, d_c, f_c = args                   # [12, S] each
                 cells = cell_channels(z_c, c).reshape(216, Tc, 8, 128)
@@ -325,11 +326,7 @@ class SoAADMM3D:
                 )
                 return zo.reshape(12, S), ih0.reshape(S)
 
-            zo, ih0 = jax.lax.map(body, (zc, dc, c["free_chunks"]))
-            return (
-                zo.transpose(1, 0, 2).reshape(12, NFp),
-                ih0.reshape(NFp),
-            )
+            return jax.lax.map(body, (z12, dxpu12, c["free_chunks"]))
 
         def cells_dict(z_c, c):
             """gather_cell-compatible cells pytree for one grad slab:
@@ -421,10 +418,10 @@ class SoAADMM3D:
             u = jnp.where(steps == 0, jnp.zeros_like(u), u)
             x = x_update(x_bar, z, u, c)
 
-            valid = c["valid"]
+            valid_cs = c["valid"].reshape(C, S)
 
-            def msum(a12):
-                return block_sumsq_f64(a12 * valid[None, :])
+            def msum(a_cs):  # [C, 12, S]
+                return block_sumsq_f64(a_cs * valid_cs[:, None, :])
 
             def cond_fn(carry):
                 i, done, *_ = carry
@@ -434,9 +431,9 @@ class SoAADMM3D:
                 i, _, x, gx, z, u, ih_start, primal, dual = carry
                 dxpu = gx + u
                 z_prev = z
-                z, ih0 = prox12(z, dxpu, c)
+                z, ih0 = prox12(z, dxpu, c)  # ih0 [C, S]
                 ih_cur = block_sum_f64(
-                    jnp.where(valid > 0, ih0, 0.0)
+                    jnp.where(valid_cs > 0, ih0, 0.0)
                 )
                 ih_start = jnp.where(i == 0, ih_cur, ih_start)
                 u = dxpu - z
