@@ -219,8 +219,35 @@ class BackwardEulerIntegrator:
                             dtype=mesh.dtype,
                         ),
                         he_map=jnp.asarray(he_map),
+                        valid_d=jnp.asarray(
+                            alive.astype(_np.float64), dtype=mesh.dtype
+                        ),
                         NFd=NFd,
                     )
+                    # VMEM-resident grad/Hessian kernels (the prox
+                    # kernel's component math): replaces the XLA jacfwd
+                    # He build AND the vmapped gradient — the two
+                    # dominant per-step costs after the stencil matvec.
+                    # Needs the symmetric 16-wide cell table + whole
+                    # (8,128) tiles; MMADMM_BE_KERNELS=0 for A/B.
+                    if (
+                        NFd % 1024 == 0
+                        and mesh.grid.cell_table is not None
+                        and not mesh.grid.constant
+                        and mesh.grid.cell_table.shape[-1] == 16
+                        and os.environ.get("MMADMM_BE_KERNELS") != "0"
+                    ):
+                        from ..ops.prox_pallas2d import make_be_kernels2d
+
+                        interp = jax.default_backend() not in (
+                            "tpu", "axon"
+                        )
+                        eg_k, hess_k = make_be_kernels2d(
+                            mesh.ehat, interpret=interp
+                        )
+                        self._grid2d["eg"] = eg_k
+                        self._grid2d["hess"] = hess_k
+                        self._grid2d["Td"] = NFd // 1024
             except AssertionError:
                 self._grid2d = None
 
@@ -234,6 +261,7 @@ class BackwardEulerIntegrator:
                 swap_k=self._grid2d["swap_k"],
                 alive_k=self._grid2d["alive_k"],
                 he_map=self._grid2d["he_map"],
+                valid_d=self._grid2d["valid_d"],
             )
         self._args = (
             mesh.F, mesh.xi, mesh.grid,
@@ -264,6 +292,13 @@ class BackwardEulerIntegrator:
         if use_grid_mv:
             _g_gather, _g_scatter = self._grid2d["ops"]
             _g_nfd = self._grid2d["NFd"]
+        use_kernels = (
+            use_grid_mv and "eg" in self._grid2d and not self.chord_carry
+        )
+        if use_kernels:
+            _eg_k = self._grid2d["eg"]
+            _hess_k = self._grid2d["hess"]
+            _Td = self._grid2d["Td"]
 
         def step(state, F, xi, grid, masks, g2c):
             (x, x_prev, He_c, dvec_c, steps, rebuild) = state
@@ -381,6 +416,83 @@ class BackwardEulerIntegrator:
                     ) * interior_nodes
                 )
                 return He0, dvec0
+
+            if use_kernels:
+                # VMEM-kernel mode (structured 2D at scale): gradient,
+                # energy and the Jacobian blocks come from the Pallas
+                # component kernels on dense-grid tiles; He lives as its
+                # lower triangle [21, NFd] and the matvec indexes it
+                # symmetrically. These shadow grad_i / build_chord /
+                # matvec_from (residual picks the new grad_i up by late
+                # binding).
+                from ..ops.monitor_grid import _cell_index as _ci
+
+                def _cells_t(z_ch):
+                    ax, ay = grid.axes
+                    ncx = ax.shape[0] - 1
+                    rows = []
+                    for v in range(3):
+                        xi_ = _ci(z_ch[v * 2], ax)
+                        yi_ = _ci(z_ch[v * 2 + 1], ay)
+                        rows.append(grid.cell_table[yi_ * ncx + xi_].T)
+                    return jnp.concatenate(rows).reshape(
+                        48, _Td, 8, 128
+                    )
+
+                def dense_eg(xv):
+                    z_ch = _g_gather(xv, g2c["swap_k"])
+                    g_t, ih_t = _eg_k(
+                        z_ch.reshape(6, _Td, 8, 128), _cells_t(z_ch)
+                    )
+                    g = _g_scatter(
+                        g_t.reshape(6, _g_nfd), g2c["swap_k"],
+                        g2c["alive_k"],
+                    ) * interior_nodes
+                    ih = block_sum_f64(
+                        jnp.where(
+                            g2c["valid_d"] > 0,
+                            ih_t.reshape(_g_nfd), 0.0,
+                        )
+                    )
+                    return ih, g
+
+                def grad_i(xv):  # noqa: F811 — kernel override
+                    return dense_eg(xv)[1]
+
+                def build_chord(xv):  # noqa: F811
+                    z_ch = _g_gather(xv, g2c["swap_k"])
+                    He_tri = _hess_k(
+                        z_ch.reshape(6, _Td, 8, 128), _cells_t(z_ch)
+                    ).reshape(21, _g_nfd)
+                    diag = jnp.stack(
+                        [He_tri[i * (i + 1) // 2 + i] for i in range(6)]
+                    )
+                    dvec0 = 1.0 + dt_tau * (
+                        _g_scatter(
+                            diag, g2c["swap_k"], g2c["alive_k"]
+                        ) * interior_nodes
+                    )
+                    return He_tri, dvec0
+
+                def matvec_from(He_tri):  # noqa: F811
+                    def mv(v):
+                        vz = _g_gather(v, g2c["swap_k"])
+                        hv = jnp.stack([
+                            sum(
+                                He_tri[
+                                    (max(i, j) * (max(i, j) + 1)) // 2
+                                    + min(i, j)
+                                ] * vz[j]
+                                for j in range(6)
+                            )
+                            for i in range(6)
+                        ])
+                        out = _g_scatter(
+                            hv, g2c["swap_k"], g2c["alive_k"]
+                        )
+                        return v + dt_tau * (out * interior_nodes)
+
+                    return mv
 
             def newton_solve(xv, xn, He0, dvec0):
                 # CHORD preconditioner: the Jacobi diagonal is assembled
@@ -524,7 +636,10 @@ class BackwardEulerIntegrator:
             x2, n_newton = newton_solve(x_g, xn, He0, dvec0)
             # the reference returns Ih from the LAST eulerStepMod inside the
             # Newton loop, i.e. the post-step energy (Mesh.cpp:1289,1340)
-            ih = mesh._energy_impl(x2, F, xi, grid)
+            if use_kernels:
+                ih = dense_eg(x2)[0]
+            else:
+                ih = mesh._energy_impl(x2, F, xi, grid)
             # stale-chord flag for the next step: a step that needed many
             # Newton iterations says the carried linearization has
             # drifted — rebuild next time (threshold measured: see

@@ -470,6 +470,106 @@ def newton_sweeps_c(z, cells, ehat, dxpu, w, free, tol, max_iters,
 _TILE = 8 * 128  # elements per grid step: one (8, 128) vreg per component
 
 
+def make_be_kernels2d(ehat_const, *, interpret: bool = False):
+    """Backward-Euler hot-op kernels on tiled channel-major input — the
+    per-element energy gradient and Hessian evaluated VMEM-resident, the
+    way the prox kernel runs its Newton sweeps. Both are UNREGULARIZED
+    (w=0, free=1): BE's F(x) = (dt/tau) grad I + (x - x^n) masks at the
+    NODE level (interior), not per element, and its Jacobian blocks are
+    the raw energy Hessians (``elem_hess``; the 1e-9 Levenberg floor
+    hess_c adds is ~1e-3x the Jacobi-Richardson tolerance). Replaces the
+    XLA jacfwd build — the single most expensive op in the BE step.
+
+    Returns ``(eg, hess)``:
+      eg(z_t [6,T,8,128], cells_t [48,T,8,128]) -> (g [6,T,8,128],
+                                                     ih [T,8,128])
+      hess(z_t, cells_t) -> H lower-triangular [21, T, 8, 128]
+      (channel t(i,j) = i(i+1)/2 + j for i >= j).
+    """
+    import sys
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+
+    eh = np.asarray(ehat_const, dtype=np.float64).reshape(-1)
+    ehat = (float(eh[0]), float(eh[1]), float(eh[2]), float(eh[3]))
+    tri = [(i, j) for i in range(6) for j in range(i + 1)]
+
+    def eg_kernel(z_ref, cells_ref, g_ref, ih_ref):
+        z = [z_ref[c, 0] for c in range(6)]
+        cells = [
+            [cells_ref[v * _ROW_W + k, 0] for k in range(_ROW_W)]
+            for v in range(3)
+        ]
+        zero = jnp.zeros_like(z[0])
+        one = jnp.ones_like(z[0])
+        g, ih, _ = grad_c(z, cells, ehat, [zero] * 6, 0.0, [one] * 6)
+        for c in range(6):
+            g_ref[c, 0] = g[c]
+        ih_ref[0] = ih
+
+    def hess_kernel(z_ref, cells_ref, h_ref):
+        z = [z_ref[c, 0] for c in range(6)]
+        cells = [
+            [cells_ref[v * _ROW_W + k, 0] for k in range(_ROW_W)]
+            for v in range(3)
+        ]
+        zero = jnp.zeros_like(z[0])
+        one = jnp.ones_like(z[0])
+        H = hess_c(z, cells, ehat, [zero] * 6, 0.0, [one] * 6)
+        for t, (i, j) in enumerate(tri):
+            h_ref[t, 0] = H[i][j]
+
+    cache: dict = {}
+
+    def _spec(n):
+        return pl.BlockSpec(
+            (n, 1, 8, 128), lambda i: (i * 0, i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _get(kind, T, dtype):
+        key = (kind, int(T), jnp.dtype(dtype).name)
+        if key not in cache:
+            spec1 = pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            )
+            if kind == "eg":
+                cache[key] = pl.pallas_call(
+                    eg_kernel, grid=(T,),
+                    in_specs=[_spec(6), _spec(48)],
+                    out_specs=(_spec(6), spec1),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((6, T, 8, 128), dtype),
+                        jax.ShapeDtypeStruct((T, 8, 128), dtype),
+                    ),
+                    interpret=interpret,
+                )
+            else:
+                cache[key] = pl.pallas_call(
+                    hess_kernel, grid=(T,),
+                    in_specs=[_spec(6), _spec(48)],
+                    out_specs=_spec(21),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (21, T, 8, 128), dtype
+                    ),
+                    interpret=interpret,
+                )
+        return cache[key]
+
+    def eg(z_t, cells_t):
+        return _get("eg", z_t.shape[1], z_t.dtype)(z_t, cells_t)
+
+    def hess(z_t, cells_t):
+        return _get("hess", z_t.shape[1], z_t.dtype)(z_t, cells_t)
+
+    return eg, hess
+
+
 def make_prox_pallas2d(ehat_const, w: float, *, interpret: bool = False):
     """Build ``prox(grid, z, xi, dxpu, free_mask, tol, max_iters,
     J_state=None)`` with the vmap backend's signature, backed by the

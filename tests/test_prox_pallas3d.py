@@ -157,6 +157,17 @@ def test_kernel_prox_comp_mesh_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(ih0_p), np.asarray(ih0_v), rtol=3e-5, atol=1e-7
     )
+    # CHORD mode (the round-5 default for comp-mesh meshes): cached-J
+    # sweeps with refresh-on-rejection must land on the same optimum
+    pf_ch = prox_pallas3d.make_prox_pallas3d(
+        mesh.ehat, mesh.w, comp_mesh=True, chord=True, interpret=True
+    )
+    z_c, ih0_c = pf_ch(
+        mesh.grid, z, mesh.xi, dxpu, mesh.elem_free, 1e-5, 50
+    )
+    np.testing.assert_allclose(
+        np.asarray(ih0_c), np.asarray(ih0_v), rtol=3e-5, atol=1e-7
+    )
 
     def reg_energy(zz):
         e = mesh._energy_e(zz, mesh.xi, mesh.grid)
@@ -166,5 +177,9 @@ def test_kernel_prox_comp_mesh_matches_vmap():
 
     np.testing.assert_allclose(
         reg_energy(jnp.asarray(z_p)), reg_energy(jnp.asarray(z_v)),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        reg_energy(jnp.asarray(z_c)), reg_energy(jnp.asarray(z_v)),
         rtol=2e-4, atol=1e-6,
     )
