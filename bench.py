@@ -284,6 +284,8 @@ def run_config(name: str, chunk: int | None = None):
     import jax
 
     cfg, mesh, integ = _build(name)
+    if chunk is None and os.environ.get("MMADMM_BENCH_CHUNK"):
+        chunk = int(os.environ["MMADMM_BENCH_CHUNK"])
     if chunk is None:
         # chunk=8 everywhere: bigger chunks amortize the tunnel dispatch
         # latency but coarsen the time-to-quality measurement to chunk

@@ -17,9 +17,12 @@ from mmadmm_tpu.problems import build_problem  # noqa: E402
 
 REF = "/root/reference/Experiments"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference artifacts not available"
-)
+pytestmark = [
+    pytest.mark.parity,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference artifacts not available"
+    ),
+]
 
 
 def ref_trace(name, method=0):
