@@ -100,6 +100,7 @@ class SoAADMM3D:
         grad_use: bool = False,
         slab: int | None = None,
         node_slab: int | None = None,
+        grid_dims: tuple[int, int, int] | None = None,
     ):
         assert mesh.dim == 3 and not mesh.comp_mesh, (
             "SoAADMM3D: D=3 non-comp-mesh only"
@@ -120,6 +121,38 @@ class SoAADMM3D:
         self.dtype = mesh.dtype
 
         NF, NP = mesh.n_elements, mesh.n_pnts
+
+        # STENCIL mode (box meshes, SquareGrid/Shoulder — nodes never
+        # compacted): replaces the two index-bound consensus ops (the
+        # slot gather and the node-slab dense scatter, ~40% of the
+        # 6.1M-tet iteration together) with window slices and shifted
+        # pad-adds over the grid/centroid pages (ops/stencil3d.py).
+        # Elements become the DENSE cell*12+t set (carved cells ride
+        # dead); vertex swaps from reOrientElements become per-(cell, t)
+        # select masks. MMADMM_SOA_STENCIL=0 disables.
+        self.stencil = False
+        if (
+            grid_dims is not None
+            and os.environ.get("MMADMM_SOA_STENCIL") != "0"
+        ):
+            gnx, gny, gnz = grid_dims
+            NPg = (gnx + 1) * (gny + 1) * (gnz + 1)
+            ncell = gnx * gny * gnz
+            if NP == NPg + ncell:
+                from ..ops.stencil3d import match_dense_3d
+
+                try:
+                    alive, swapped, m_of_d = match_dense_3d(
+                        gnx, gny, gnz, mesh._F_np
+                    )
+                    self.stencil = True
+                    self._st_dims = (gnx, gny, gnz, NPg, ncell)
+                    self._st_match = (alive, swapped, m_of_d)
+                except AssertionError:
+                    self.stencil = False
+        if self.stencil:
+            self._init_stencil(mesh, slab)
+            return
         S = int(slab or os.environ.get("MMADMM_SOA_SLAB", 131072))
         S = max(1024, (S // 1024) * 1024)
         S = min(S, -(-NF // 1024) * 1024)  # never pad past one slab
@@ -213,6 +246,94 @@ class SoAADMM3D:
         )
 
         self.step_fn = self._build_step()
+        self._step_jit = jax.jit(self.step_fn)
+        self._multi_cache: dict[int, object] = {}
+        self._run_cache: dict[int, object] = {}
+
+    # ------------------------------------------------------------------
+    def _init_stencil(self, mesh: MovingMesh, slab):
+        """Stencil-mode construction: dense element universe, [3, NP]
+        node state, no gather/scatter plans."""
+        gnx, gny, gnz, NPg, ncell = self._st_dims
+        alive, swapped, m_of_d = self._st_match
+        NP = mesh.n_pnts
+        NFd = 12 * ncell
+        S = int(slab or os.environ.get("MMADMM_SOA_SLAB", 131072))
+        S = max(1024, (S // 1024) * 1024)
+        S = min(S, -(-NFd // 1024) * 1024)
+        C = -(-NFd // S)
+        NFp = C * S
+        Sg = S // 4 if (S // 4) % 1024 == 0 and S >= 4096 else S
+        Cg = NFp // Sg
+        self.S, self.C, self.NFp = S, C, NFp
+        self.Sg, self.Cg = Sg, Cg
+        self.NF, self.NP = NFd, NP
+        self.NFd = NFd
+        dtype = self.dtype
+        grid = mesh.grid
+
+        free_m = mesh._elem_free_np.reshape(mesh.n_elements, 12)
+        free_d = np.zeros((NFd, 12))
+        free_d[alive] = free_m[m_of_d[alive]]
+        free_p = np.concatenate(
+            [free_d, np.zeros((NFp - NFd, 12))], axis=0
+        ).astype(np.float32)
+        valid = np.zeros(NFp, dtype=np.float32)
+        valid[:NFd] = alive.astype(np.float32)
+
+        from ..geometry.topology import node_degrees
+
+        deg = node_degrees(
+            np.asarray(mesh._F_np), NP
+        ).astype(np.float64)
+        tau, w = mesh.tau, mesh.w
+        dt2w2 = self.dt * self.dt * w * w
+        t_node = tau + dt2w2 * deg  # [NP]
+
+        def planes_t(v):  # [NFd] -> [12, ncell]
+            return v.reshape(ncell, 12).T.copy()
+
+        self._x0 = jnp.asarray(
+            np.asarray(mesh._X_np, dtype=np.float64).T, dtype=dtype
+        )  # [3, NP]
+        self._consts = dict(
+            swap_t=jnp.asarray(
+                planes_t(swapped.astype(np.float64)), dtype=dtype
+            ),
+            alive_t=jnp.asarray(
+                planes_t(alive.astype(np.float64)), dtype=dtype
+            ),
+            free_chunks=jnp.asarray(
+                free_p.T.reshape(12, C, S).transpose(1, 0, 2),
+                dtype=dtype,
+            ),
+            free_flat=jnp.asarray(free_p.reshape(-1), dtype=dtype),
+            valid=jnp.asarray(valid, dtype=dtype),
+            t_node=jnp.asarray(t_node, dtype=dtype),
+            axes=tuple(grid.axes),
+            cell_table=(
+                grid.cell_table if grid.cell_table is not None
+                else jnp.zeros((1, 1), dtype=dtype)
+            ),
+        )
+        self._grid_constant = bool(grid.constant)
+        if self._grid_constant:
+            flat0 = np.asarray(grid.values).reshape(-1, 9)[0]
+            self._consts["sym6"] = jnp.asarray(
+                flat0[[0, 1, 2, 4, 5, 8]], dtype=dtype
+            )
+            self._consts["vals0_9"] = jnp.asarray(flat0, dtype=dtype)
+
+        self.tau, self.w, self.dt2w2 = float(tau), float(w), float(dt2w2)
+        self.ehat = mesh.ehat
+
+        from ..ops.prox_pallas3d import make_prox_pallas3d
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        self._kernel = make_prox_pallas3d(
+            self.ehat, self.w, comp_mesh=False, interpret=interp
+        )
+        self.step_fn = self._build_step_stencil()
         self._step_jit = jax.jit(self.step_fn)
         self._multi_cache: dict[int, object] = {}
         self._run_cache: dict[int, object] = {}
@@ -466,6 +587,236 @@ class SoAADMM3D:
         return step
 
     # ------------------------------------------------------------------
+    def _build_step_stencil(self):
+        """Stencil-mode step: same semantics, consensus ops as window
+        slices / shifted pad-adds, node state [3, NP] d-major."""
+        from ..ops.stencil3d import make_stencil_ops_3d
+
+        gnx, gny, gnz, NPg, ncell = self._st_dims
+        S, C, NFp = self.S, self.C, self.NFp
+        Sg, Cg = self.Sg, self.Cg
+        NFd = self.NFd
+        tau, dt2w2, dt = self.tau, self.dt2w2, self.dt
+        tol, prox_tol = self.tol, self.prox_tol
+        n_iters, prox_iters = self.admm_iters, self.prox_max_iters
+        Tc = S // 1024
+        tiled_call = self._kernel.tiled_call
+        ehat = self.ehat
+        constant = self._grid_constant
+        grad_use = self.grad_use
+        dtype = self.dtype
+        pad = NFp - NFd
+
+        gather_ch, scatter_ch = make_stencil_ops_3d(gnx, gny, gnz)
+
+        def channels_of(x3, c):
+            chans = gather_ch(x3[:, :NPg], x3[:, NPg:], c["swap_t"])
+            if pad:
+                chans = [
+                    jnp.concatenate([ch, ch[:pad]]) for ch in chans
+                ]
+            return chans
+
+        def chunked(chans, size, count):
+            def chunk(ci):
+                return jnp.stack([
+                    jax.lax.dynamic_slice(ch, (ci * size,), (size,))
+                    for ch in chans
+                ])
+
+            return jax.lax.map(chunk, jnp.arange(count))
+
+        def gather12(x3, c):
+            return chunked(channels_of(x3, c), S, C)  # [C, 12, S]
+
+        def scatter12(y, c):
+            """[C, 12, S] -> [3, NP] via shifted pad-adds."""
+            chans = [y[:, i, :].reshape(NFp)[:NFd] for i in range(12)]
+            sg, sm = scatter_ch(chans, c["swap_t"], c["alive_t"])
+            return jnp.concatenate([sg, sm], axis=1)
+
+        def x_update(x_bar, z12, u12, c):
+            rhs = tau * x_bar + dt2w2 * scatter12(z12 - u12, c)
+            return rhs / c["t_node"][None, :]
+
+        def cell_channels(chunk, c):
+            ax, ay, az = c["axes"]
+            n = ax.shape[0] - 1
+            parts = []
+            for v in range(4):
+                xs, ys, zs = chunk[3 * v], chunk[3 * v + 1], chunk[3 * v + 2]
+                xi = _cell_index(xs, ax)
+                yi = _cell_index(ys, ay)
+                zi = _cell_index(zs, az)
+                if constant:
+                    vals48 = jnp.broadcast_to(
+                        jnp.tile(c["sym6"], 8)[:, None], (48, S)
+                    )
+                else:
+                    ci = (zi * n + yi) * n + xi
+                    vals48 = c["cell_table"][ci].T
+                bounds = jnp.stack(
+                    [ax[xi], ax[xi + 1], ay[yi], ay[yi + 1],
+                     az[zi], az[zi + 1]]
+                )
+                parts.append(
+                    jnp.concatenate([vals48, bounds.astype(chunk.dtype)])
+                )
+            return jnp.concatenate(parts)
+
+        def prox12(z12, dxpu12, c):
+            def body(args):
+                z_c, d_c, f_c = args
+                cells = cell_channels(z_c, c).reshape(216, Tc, 8, 128)
+                zo, ih0 = tiled_call(
+                    z_c.reshape(12, Tc, 8, 128),
+                    d_c.reshape(12, Tc, 8, 128),
+                    f_c.reshape(12, Tc, 8, 128),
+                    cells, prox_tol, prox_iters,
+                )
+                return zo.reshape(12, S), ih0.reshape(S)
+
+            return jax.lax.map(body, (z12, dxpu12, c["free_chunks"]))
+
+        def cells_dict(z_c, c):
+            ax, ay, az = c["axes"]
+            n = ax.shape[0] - 1
+            full = jnp.asarray(_FULL9)
+            vals_v, b = [], {k: [] for k in
+                            ("x0", "x1", "y0", "y1", "z0", "z1")}
+            for v in range(4):
+                xs, ys, zs = z_c[:, v, 0], z_c[:, v, 1], z_c[:, v, 2]
+                xi = _cell_index(xs, ax)
+                yi = _cell_index(ys, ay)
+                zi = _cell_index(zs, az)
+                if constant:
+                    vals = jnp.broadcast_to(
+                        c["vals0_9"][None, None, :], (Sg, 8, 9)
+                    )
+                else:
+                    ci = (zi * n + yi) * n + xi
+                    v6 = c["cell_table"][ci].reshape(Sg, 8, 6)
+                    vals = v6[:, :, full]
+                vals_v.append(vals)
+                for key, val in zip(
+                    ("x0", "x1", "y0", "y1", "z0", "z1"),
+                    (ax[xi], ax[xi + 1], ay[yi], ay[yi + 1],
+                     az[zi], az[zi + 1]),
+                ):
+                    b[key].append(val)
+            return dict(
+                vals=jnp.stack(vals_v, axis=1),
+                **{k: jnp.stack(v, axis=1) for k, v in b.items()},
+            )
+
+        xi_dummy = jnp.zeros((4, 3), dtype=dtype)
+
+        def eg_one(z_e, cells_e):
+            return huang.element_energy_grad(
+                z_e, xi_dummy, None, ehat, False, cells=cells_e
+            )
+
+        def grad_full(x3, c):
+            """Predictor euler gradient [3, NP]: stencil gather, vmapped
+            element grads in Sg slabs, stencil scatter."""
+            chans = channels_of(x3, c)
+            zc_g = chunked(chans, Sg, Cg)            # [Cg, 12, Sg]
+            free_g = c["free_flat"].reshape(Cg, Sg, 12)
+
+            def body(args):
+                z_c, fr = args                        # [12, Sg], [Sg, 12]
+                z_e = z_c.T.reshape(Sg, 4, 3)
+                cells = cells_dict(z_e, c)
+                _, g_e = jax.vmap(eg_one)(z_e, cells)
+                return (g_e.reshape(Sg, 12) * fr).T   # [12, Sg]
+
+            g_chunks = jax.lax.map(body, (zc_g, free_g))  # [Cg, 12, Sg]
+            g_ch = [
+                g_chunks[:, i, :].reshape(NFp)[:NFd] for i in range(12)
+            ]
+            sg, sm = scatter_ch(g_ch, c["swap_t"], c["alive_t"])
+            return jnp.concatenate([sg, sm], axis=1)
+
+        def step(state: SoAState, c: dict):
+            x, x_prev, u, steps, ih_last, rose, rises = state
+
+            def euler(_):
+                return x - (dt / tau) * grad_full(x, c)
+
+            def extrap(_):
+                return 2.0 * x - x_prev
+
+            def damped(_):
+                return jax.lax.cond(rises >= 2, lambda _: x, euler, None)
+
+            if grad_use:
+                x_bar = euler(None)
+            else:
+                x_bar = jax.lax.cond(
+                    steps <= 2, euler,
+                    lambda _: jax.lax.cond(rose, damped, extrap, None),
+                    None,
+                )
+
+            x_prev2 = x
+            x = x_bar
+            z = jax.lax.cond(
+                steps == 0,
+                lambda _: gather12(x_prev2, c),
+                lambda _: gather12(x, c),
+                None,
+            )
+            u = jnp.where(steps == 0, jnp.zeros_like(u), u)
+            x = x_update(x_bar, z, u, c)
+
+            valid_cs = c["valid"].reshape(C, S)
+
+            def msum(a_cs):
+                return block_sumsq_f64(a_cs * valid_cs[:, None, :])
+
+            def cond_fn(carry):
+                i, done, *_ = carry
+                return jnp.logical_and(i < n_iters, ~done)
+
+            def body_fn(carry):
+                i, _, x, gx, z, u, ih_start, primal, dual = carry
+                dxpu = gx + u
+                z_prev = z
+                z, ih0 = prox12(z, dxpu, c)
+                ih_cur = block_sum_f64(
+                    jnp.where(valid_cs > 0, ih0, 0.0)
+                )
+                ih_start = jnp.where(i == 0, ih_cur, ih_start)
+                u = dxpu - z
+                x = x_update(x_bar, z, u, c)
+                gx = gather12(x, c)
+                primal = jnp.sqrt(msum(gx - z))
+                dual = jnp.sqrt(msum(z - z_prev))
+                done = jnp.logical_and(primal < tol, dual < tol)
+                return (i + 1, done, x, gx, z, u, ih_start, primal, dual)
+
+            init = (
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                x, gather12(x, c), z, u,
+                jnp.zeros((), jnp.float64), jnp.zeros((), jnp.float64),
+                jnp.zeros((), jnp.float64),
+            )
+            (i, _, x, _, z, u, ih_start, primal,
+             dual) = jax.lax.while_loop(cond_fn, body_fn, init)
+
+            rose_next = ih_start > ih_last
+            rises_next = jnp.where(ih_start > ih_last, rises + 1, 0)
+            new_state = SoAState(
+                x=x, x_prev=x_prev2, u=u, steps=steps + 1,
+                ih_last=ih_start, rose=rose_next, rises=rises_next,
+            )
+            return new_state, StepInfo(
+                ih_start=ih_start, primal=primal, dual=dual, n_iters=i
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
     def step(self, state: SoAState):
         return self._step_jit(state, self._consts)
 
@@ -510,13 +861,13 @@ class SoAADMM3D:
             jnp.asarray(bool(stop_on_rise)),
         )
 
-    def energy(self, state: SoAState) -> float:
-        x = np.asarray(state.x[: self.NP * 3], dtype=np.float64)
-        return float(self.mesh.energy(
-            jnp.asarray(x.reshape(self.NP, 3), dtype=self.dtype)
-        ))
-
     def node_positions(self, state: SoAState) -> np.ndarray:
+        if self.stencil:  # [3, NP] d-major
+            return np.asarray(state.x).T.copy()
         return np.asarray(
             state.x[: self.NP * 3]
         ).reshape(self.NP, 3)
+
+    def energy(self, state: SoAState) -> float:
+        x = self.node_positions(state)
+        return float(self.mesh.energy(jnp.asarray(x, dtype=self.dtype)))

@@ -92,6 +92,13 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
         # MMADMM_SOA=1/0 forces/disables; threshold via MMADMM_SOA_MIN.
         soa_env = os.environ.get("MMADMM_SOA")
         soa_min = int(os.environ.get("MMADMM_SOA_MIN", 1_500_000))
+        # box meshes get the 3D STENCIL consensus (zero index ops), which
+        # beats the stock path well below the memory-driven 1.5M cutoff
+        if cfg.dim == 3 and cfg.test_type in ("SquareGrid", "Shoulder"):
+            soa_min = min(
+                soa_min,
+                int(os.environ.get("MMADMM_SOA_STENCIL_MIN", 500_000)),
+            )
         want_soa = (
             soa_env == "1"
             or (soa_env != "0" and mesh.n_elements >= soa_min)
@@ -110,6 +117,12 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
                 admm_iters=cfg.admm_iter, tol=cfg.step_tol,
                 prox_max_iters=cfg.prox_newton_iters,
                 grad_use=cfg.grad_use,
+                # box meshes get the 3D stencil consensus ops
+                grid_dims=(
+                    (cfg.nx, cfg.ny, cfg.nz)
+                    if cfg.test_type in ("SquareGrid", "Shoulder")
+                    else None
+                ),
             )
             return mesh, integ
         # structured 2D meshes at scale: the stencil engine replaces the
