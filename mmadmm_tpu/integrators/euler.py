@@ -66,7 +66,8 @@ def build_sharded_gradient(mesh: MovingMesh, shards):
 
 
 class EulerIntegrator:
-    def __init__(self, mesh: MovingMesh, dt: float, *, device_mesh=None):
+    def __init__(self, mesh: MovingMesh, dt: float, *, device_mesh=None,
+                 grid2d_dims: tuple[int, int] | None = None):
         self.mesh = mesh
         self.dt = float(dt)
         dt_tau = self.dt / mesh.tau
@@ -77,18 +78,51 @@ class EulerIntegrator:
         if device_mesh is None:
             self.shards = None
 
-            # mesh arrays are call arguments, not closure constants (same
-            # compile-size rationale as ADMMIntegrator._consts)
-            def step(x, F, xi, grid, masks):
-                ih, g = mesh._gradient_impl(x, F, xi, grid, masks, True)
-                return x - dt_tau * g, ih
+            # structured 2D at scale: the (ih, grad) eval runs on the
+            # stencil engine + VMEM component kernels (the backward-Euler
+            # machinery, ops/dense_eg2d.py). MMADMM_EULER_GRID=0 for A/B.
+            import os
 
-            self._step_fn = step
-            self._step_jit = jax.jit(step)
-            self._args = (
-                mesh.F, mesh.xi, mesh.grid,
-                (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
-            )
+            self._grid2d = None
+            env_eg = os.environ.get("MMADMM_EULER_GRID")
+            if (
+                grid2d_dims is not None and mesh.dim == 2
+                and env_eg != "0"
+                and (env_eg == "1" or mesh.n_elements >= 50_000)
+            ):
+                from ..ops.dense_eg2d import make_dense_eg2d
+
+                self._grid2d = make_dense_eg2d(mesh, *grid2d_dims)
+
+            if self._grid2d is not None:
+                g2_consts, eg_fn = self._grid2d
+
+                def step(x, F, xi, grid, masks, g2c):
+                    ih, g = eg_fn(x, grid, g2c, masks[1])
+                    return x - dt_tau * g, ih
+
+                self._step_fn = step
+                self._step_jit = jax.jit(step)
+                self._args = (
+                    mesh.F, mesh.xi, mesh.grid,
+                    (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+                    g2_consts,
+                )
+            else:
+                # mesh arrays are call arguments, not closure constants
+                # (same compile-size rationale as ADMMIntegrator._consts)
+                def step(x, F, xi, grid, masks):
+                    ih, g = mesh._gradient_impl(
+                        x, F, xi, grid, masks, True
+                    )
+                    return x - dt_tau * g, ih
+
+                self._step_fn = step
+                self._step_jit = jax.jit(step)
+                self._args = (
+                    mesh.F, mesh.xi, mesh.grid,
+                    (mesh.elem_free, mesh.interior_nodes, mesh.dense_idx),
+                )
         else:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P

@@ -162,7 +162,14 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
             device_mesh=device_mesh,
         )
     elif cfg.method == 1:
-        integ = EulerIntegrator(mesh, cfg.dt, device_mesh=device_mesh)
+        g2_dims = (
+            (cfg.nx, cfg.ny)
+            if cfg.dim == 2 and cfg.test_type in ("SquareGrid", "Shoulder")
+            else None
+        )
+        integ = EulerIntegrator(
+            mesh, cfg.dt, device_mesh=device_mesh, grid2d_dims=g2_dims
+        )
     elif cfg.method == 2:
         # structured 2D meshes: hand the cell-grid dims to BE so its
         # Richardson matvecs can run on the stencil engine at scale
