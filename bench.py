@@ -362,10 +362,18 @@ def main() -> None:
     # (measured: a 47 s dispatch survived, heavier ones reproducibly die
     # with "TPU device error" — the BE fault post-mortem,
     # integrators/backward_euler.py docstring). Large configs keep the
-    # chunked host loop (~1 s dispatches).
+    # chunked host loop (~1 s dispatches) — EXCEPT the 2D production
+    # sizes, whose stencil-engine step is fast enough that the whole
+    # DtTol run is one short dispatch (Monitor1320: 280 steps in 5.45 s
+    # measured on-chip — the chunked loop's per-chunk dispatch overhead
+    # was costing the headline 2.2x). The 6.1M-tet SoA tiers stay
+    # chunked: their 0.2-3.6 s/step puts a whole run far past the kill
+    # line.
     small = REF_SECONDS.get(name, 1e9) <= 35.0
+    device_safe = name in ("Monitor1320", "Monitor2320")
     loop_mode = os.environ.get(
-        "MMADMM_BENCH_LOOP", "device" if small else "chunked"
+        "MMADMM_BENCH_LOOP",
+        "device" if (small or device_safe) else "chunked",
     )
     tiered_down = False
     try:
