@@ -370,7 +370,13 @@ def main() -> None:
     # chunked: their 0.2-3.6 s/step puts a whole run far past the kill
     # line.
     small = REF_SECONDS.get(name, 1e9) <= 35.0
-    device_safe = name in ("Monitor1320", "Monitor2320")
+    # measured dispatch lengths: Monitor1320 5.45 s, Monitor2320 5.58 s,
+    # 3DMonitor220 ~5 s, Monitor3320r ~11 s, 3DMonitor140 ~22 s,
+    # 3DMonitor240 ~25 s — all under the 47 s survival record
+    device_safe = name in (
+        "Monitor1320", "Monitor2320", "3DMonitor220", "Monitor3320r",
+        "3DMonitor140", "3DMonitor240",
+    )
     loop_mode = os.environ.get(
         "MMADMM_BENCH_LOOP",
         "device" if (small or device_safe) else "chunked",

@@ -127,6 +127,56 @@ def run_device_bench(integ, cfg, ref_s, ref_ih, rise=False):
     return wall, steps, ih_final, t_target
 
 
+def run_segmented_bench(integ, cfg, ref_s, ref_ih, rise=False):
+    """Device loop in SEGMENTS of MMADMM_BENCH_SEG steps (default 256):
+    device-speed steps with only a handful of tunnel dispatches, for runs
+    whose single whole-run dispatch would cross the ~47 s tunnel kill
+    line (Monitor1320_m2: ~55 ms/step x 827 steps). Stop-test caveat: the
+    in-graph loop restarts ih_prev=inf each segment, so a DtTol stop
+    cannot fire on a segment's first step — a stop is detected at most
+    one step late (wall time is conservative, never flattered). The
+    target run adjusts min_steps per segment."""
+    seg = int(os.environ.get("MMADMM_BENCH_SEG", "256"))
+    cap = cfg.n_steps
+
+    def one_pass(target_ih=None, min_steps=0):
+        s = integ.init_state()
+        trace_parts, total = [], 0
+        while total < cap:
+            c = min(seg, cap - total)
+            s, trace, st = integ.run_device(
+                s, cap=c, dt_tol=cfg.dt_tol, target_ih=target_ih,
+                min_steps=max(0, min_steps - total), stop_on_rise=rise,
+            )
+            jax.block_until_ready(s.x)
+            st = int(st)
+            trace_parts.append(np.asarray(trace)[:st])
+            total += st
+            if st < c:  # a stop fired inside this segment
+                break
+        return s, np.concatenate(trace_parts), total
+
+    t0 = time.perf_counter()
+    s, tr, steps = one_pass()
+    print(f"  compile+first run {time.perf_counter() - t0:.1f}s "
+          f"({steps} steps, seg={seg})", flush=True)
+
+    t0 = time.perf_counter()
+    s, tr, steps = one_pass()
+    wall = time.perf_counter() - t0
+    ih_final = float(tr[steps - 1])
+
+    k = last_downward_crossing(tr, steps, ref_ih)
+    t_target = None
+    if k is not None:
+        t0 = time.perf_counter()
+        _s2, _tr2, st2 = one_pass(target_ih=ref_ih, min_steps=k + 1)
+        t_target = time.perf_counter() - t0
+        print(f"  target stop at step {st2} (crossing {k + 1}), "
+              f"{t_target:.3f}s", flush=True)
+    return wall, steps, ih_final, t_target
+
+
 def run_chunked_bench(integ, cfg, ref_s, ref_ih, method):
     # big chunks amortize the ~150 ms tunnel dispatch (37 ms/step at
     # chunk=4 was ~20% of the BE step at Monitor1160)
@@ -196,6 +246,10 @@ for method in methods:
         wall, steps, ih, t_target = run_device_bench(
             integ, cfg, ref_s, ref_ih_eff, rise=rise
         )
+    elif MODE == "segmented":
+        wall, steps, ih, t_target = run_segmented_bench(
+            integ, cfg, ref_s, ref_ih_eff, rise=rise
+        )
     else:
         wall, steps, ih, t_target = run_chunked_bench(
             integ, cfg, ref_s, ref_ih_eff, method
@@ -205,6 +259,12 @@ for method in methods:
         f"ref quality ({ref_ih}) at {t_target}s vs ref {ref_s}s",
         flush=True,
     )
+    if jax.default_backend() not in ("tpu", "axon"):
+        # CPU smoke of the bench logic itself — never let it clobber the
+        # TPU-measured rows
+        print(f"m{method}: backend={jax.default_backend()}, "
+              "NOT recording to tpu_bench.json", flush=True)
+        continue
     rec_path = os.path.join(REPO, "Results", "tpu_bench.json")
     records = {}
     if os.path.exists(rec_path):
