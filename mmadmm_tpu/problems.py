@@ -129,8 +129,12 @@ def build_problem(cfg: ExperimentConfig, base_dir: str | None = None):
         # index-bound gather/scatter pair (~2/3 of the ADMM iteration,
         # COVERAGE.md roofline) with shifted-slice arithmetic
         # (integrators/admm_grid2d.py). MMADMM_GRID2D=1/0 forces/disables.
+        # Gate: measured a clear win down to Monitor180 (19.2k live /
+        # 25.6k dense elements: 4.4 -> 1.5 ms/step on-chip, row 4.8x ->
+        # 14.3x), so the threshold sits below its LIVE count; smaller
+        # shipped configs are ineligible anyway (NFd % 1024 != 0).
         g2_env = os.environ.get("MMADMM_GRID2D")
-        g2_min = int(os.environ.get("MMADMM_GRID2D_MIN", 50_000))
+        g2_min = int(os.environ.get("MMADMM_GRID2D_MIN", 15_000))
         want_g2 = (
             g2_env == "1"
             or (g2_env != "0" and mesh.n_elements >= g2_min)
