@@ -290,10 +290,11 @@ def run_config(name: str, chunk: int | None = None):
         # chunk=8 everywhere: bigger chunks amortize the tunnel dispatch
         # latency but coarsen the time-to-quality measurement to chunk
         # boundaries — measured net-worse for the recorded metric (3D110:
-        # 1.89 s @8 vs 2.59 s @26). The 6.1M-tet tier runs seconds per
-        # STEP — its chunk stays tiny so device dispatches keep well under
-        # the tunnel's kill threshold.
-        chunk = {"3DMonitor280": 2, "3DMonitor180": 2}.get(name, 8)
+        # 1.89 s @8 vs 2.59 s @26). The 6.1M-tet tier also measured
+        # BETTER at chunk 8 (280: 3.60 -> 3.26 s/step — the host loop
+        # adds ~0.5 s/chunk beyond compute) and its 8-step dispatches
+        # (10-26 s) stay under the tunnel's ~47 s kill threshold.
+        chunk = 8
     log(f"{name}: NF={mesh.n_elements}, compiling chunk={chunk} step program")
 
     state = integ.init_state()
