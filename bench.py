@@ -295,6 +295,11 @@ def run_config(name: str, chunk: int | None = None):
         # adds ~0.5 s/chunk beyond compute) and its 8-step dispatches
         # (10-26 s) stay under the tunnel's ~47 s kill threshold.
         chunk = 8
+    # land exactly on the config's nSteps cap: the loop below runs whole
+    # chunks, so a non-divisor chunk overshoots (a 100-step tier ran 104
+    # steps at chunk 8 — 4 uncounted-by-the-reference steps of pure wall)
+    if cfg.n_steps % chunk:
+        chunk = next(c for c in (10, 5, 4, 2, 1) if cfg.n_steps % c == 0)
     log(f"{name}: NF={mesh.n_elements}, compiling chunk={chunk} step program")
 
     state = integ.init_state()
